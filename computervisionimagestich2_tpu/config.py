@@ -1,0 +1,145 @@
+"""Configuration for the TPU-native panorama stitcher.
+
+All defaults mirror the reference application's compile-time constants
+(/root/reference/ImageProcess.h:13-32, Projection.h:12-13, equalization.cpp:2,
+transfer.cpp:2) and VLFeat's SIFT defaults (/root/reference/vl/sift.c:238-275).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class SiftConfig:
+    """SIFT scale-space / detector / descriptor parameters.
+
+    Mirrors VlSiftFilt defaults (vl/sift.c:233-275) and the app's choices
+    (ImageProcess.cpp:54-55: noctaves=4, nlevels=2, o_min=0).
+    """
+
+    n_octaves: int = 4            # NOTAVES_NUM, ImageProcess.h:15
+    n_levels: int = 2             # LEVEL_NUM (S), ImageProcess.h:16
+    o_min: int = 0                # first octave index (ImageProcess.cpp:55)
+    sigma_n: float = 0.5          # nominal input smoothing, vl/sift.c:251
+    sigma0_factor: float = 1.6    # sigma0 = 1.6 * 2^(1/S), vl/sift.c:253
+    peak_thresh: float = 0.0      # vl/sift.c:267
+    edge_thresh: float = 10.0     # vl/sift.c:268
+    norm_thresh: float = 0.0      # vl/sift.c:269
+    magnif: float = 3.0           # descriptor SBP = magnif * sigma, vl/sift.c:270
+    n_ori_bins: int = 36          # orientation histogram bins, vl/sift.c:934
+    n_spatial_bins: int = 4       # NBP, vl/sift.c:19
+    n_desc_ori_bins: int = 8      # NBO, vl/sift.c:18
+    max_angles: int = 4           # <=4 orientations per keypoint, sift.c:1018
+    # Static capacity knobs (TPU-native: dense masks instead of realloc,
+    # replacing the dynamic keys buffer at vl/sift.c:580-590).
+    max_keypoints_per_octave: int = 2048
+    max_keypoints: int = 4096     # total after orientation expansion
+
+    @property
+    def sigma_k(self) -> float:
+        return 2.0 ** (1.0 / self.n_levels)
+
+    @property
+    def sigma0(self) -> float:
+        return self.sigma0_factor * self.sigma_k
+
+    @property
+    def dsigma0(self) -> float:
+        import math
+        return self.sigma0 * math.sqrt(1.0 - 1.0 / (self.sigma_k * self.sigma_k))
+
+    @property
+    def s_min(self) -> int:
+        return -1                 # vl/sift.c:238
+
+    @property
+    def s_max(self) -> int:
+        return self.n_levels + 1  # vl/sift.c:239
+
+
+@dataclasses.dataclass(frozen=True)
+class MatchConfig:
+    """Descriptor matching. The reference uses a 1-tree kd-forest with L1
+    distance and Lowe ratio 0.5 (ImageProcess.cpp:280, ImageProcess.h:22).
+    TPU-native: exact all-pairs distance on the MXU/VPU + top-2."""
+
+    ratio_threshold: float = 0.5  # RATIO_THRESHOLD, ImageProcess.h:22
+    distance: str = "l1"          # VlDistanceL1, ImageProcess.cpp:280
+    pair_threshold: int = 20      # THRESHOLD (min matches to stitch), ImageProcess.h:18
+    max_matches: int = 2048       # static capacity for match pairs
+
+
+@dataclasses.dataclass(frozen=True)
+class RansacConfig:
+    """RANSAC warp estimation (ImageProcess.cpp:395-529)."""
+
+    n_sample: int = 4             # NUM_OF_PAIR, ImageProcess.h:29
+    confidence: float = 0.99      # CONFIDENCE (hardcoded again at cpp:398)
+    inlier_ratio: float = 0.5     # INLINER_RATIO
+    threshold: float = 4.0        # RANSAC_THRESHOLD, ImageProcess.h:32
+    seed: int = 666666            # srand(666666), ImageProcess.cpp:397
+    # TPU-native: hypotheses are vmapped; >= the reference's 72 sequential iters.
+    n_hypotheses: int = 128
+
+    @property
+    def reference_iterations(self) -> int:
+        import math
+        return math.ceil(
+            math.log(1 - self.confidence)
+            / math.log(1 - self.inlier_ratio ** self.n_sample)
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class ProjectionConfig:
+    """Cylindrical projection (Projection.h:12, Projection.cpp:20-73)."""
+
+    angle_deg: float = 15.0       # ANGLE, Projection.h:12
+
+
+@dataclasses.dataclass(frozen=True)
+class BlendConfig:
+    """Multi-band Laplacian blend (ImageProcess.cpp:648-773)."""
+
+    blur_sigma: float = 2.0       # get_blur(2,...), ImageProcess.cpp:709
+    # root variant: levels = floor(log2(max(w,h))) (ImageProcess.cpp:675-676)
+    # ex6 variant:  levels = floor(log2(min(w,h))) (src/ex6/ImageProcess.cpp:662-665)
+    level_mode: str = "max"       # "max" (root) | "min" (ex6)
+    max_levels: int = 12
+
+
+@dataclasses.dataclass(frozen=True)
+class EnhanceConfig:
+    """Histogram equalization + YCbCr luma mix (ImageProcess.cpp:237-270)."""
+
+    # Reference quirk: Y uses 0.857 for G instead of 0.587 at all three
+    # conversion sites (ImageProcess.cpp:242,252; equalization.cpp:79).
+    # compat=True reproduces it; compat=False uses the correct 0.587.
+    compat_luma: bool = True
+    # root mixes 19/20 : 1/20 (ImageProcess.cpp:261); ex6 uses 5/6 : 1/6
+    # (src/ex6/ImageProcess.cpp:270).
+    mix_weight: float = 19.0 / 20.0
+
+
+@dataclasses.dataclass(frozen=True)
+class StitchConfig:
+    sift: SiftConfig = dataclasses.field(default_factory=SiftConfig)
+    match: MatchConfig = dataclasses.field(default_factory=MatchConfig)
+    ransac: RansacConfig = dataclasses.field(default_factory=RansacConfig)
+    projection: ProjectionConfig = dataclasses.field(default_factory=ProjectionConfig)
+    blend: BlendConfig = dataclasses.field(default_factory=BlendConfig)
+    enhance: EnhanceConfig = dataclasses.field(default_factory=EnhanceConfig)
+    # "graph" = root variant's match-graph discovery over unordered images
+    # (ImageProcess.cpp:101-147); "chain" = ex6's pre-ordered left-to-right
+    # adjacency (src/ex6/ImageProcess.cpp:150-159).
+    ordering: str = "graph"
+    # Canvas sizes are bucketed (rounded up) to bound XLA recompilation;
+    # the TPU-native answer to the reference's unbounded canvas growth
+    # (ImageProcess.cpp:215-219).
+    canvas_bucket: int = 128
+    # Compute dtype for image-space kernels.
+    dtype: str = "float32"
+
+
+DEFAULT_CONFIG = StitchConfig()

@@ -1,0 +1,43 @@
+"""Test harness: run everything on a virtual 8-device CPU mesh.
+
+Mirrors the multi-chip testing strategy: sharding/pjit paths are exercised on
+CPU devices (SURVEY.md §4), while TPU benchmarks run via bench.py.
+
+Note: this environment's sitecustomize imports jax at interpreter startup to
+register the TPU plugin, so JAX_PLATFORMS must be set via jax.config (env
+vars are read once at jax import). XLA_FLAGS is still honored because
+backends initialize lazily.
+"""
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+REFERENCE = "/root/reference"
+
+
+def pytest_sessionstart(session):
+    assert jax.default_backend() == "cpu", jax.default_backend()
+
+
+@pytest.fixture(scope="session")
+def input_images():
+    """The 4-image Input/ dataset (384x512 BMPs) as RGB uint8 arrays."""
+    from computervisionimagestich2_tpu.utils import load_image
+
+    return [load_image(f"{REFERENCE}/Input/{i}.bmp") for i in range(1, 5)]
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)
