@@ -1,0 +1,155 @@
+"""SIFT feature extraction — TPU-native scale-space driver.
+
+Re-design of VLFeat's octave-at-a-time streaming filter
+(/root/reference/vl/sift.c: vl_sift_new:217, vl_sift_process_first_octave:322,
+vl_sift_process_next_octave:428) and the app wrapper ``siftAlgorithm``
+(/root/reference/ImageProcess.cpp:44-99).
+
+Differences by design (SURVEY.md §7):
+- The octave loop runs on host (static shapes per octave); within an octave
+  every level / candidate / keypoint is batched on device.
+- Dynamic keypoint buffers (vl/sift.c:580-590) become static-capacity arrays
+  with validity masks, compacted with top-k style gathers.
+- The descriptor-keyed ``map`` (ImageProcess.h:54) becomes index-aligned
+  arrays; its dedup/ordering side effects are not reproduced (flagged in
+  SURVEY §3.3 — exact matching makes the reverse lookup unnecessary).
+
+App defaults: noctaves=4, nlevels=2, o_min=0 (ImageProcess.cpp:54-55), input
+is the u8-truncated ITU-601 luma in 0..255 (ImageProcess.cpp:27-40,47-51).
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SiftConfig
+from ..core.types import Features
+from ..ops import sift_kernels as sk
+from ..ops.gaussian import gaussian_blur
+from ..ops.resize import vlfeat_downsample
+
+
+def scale_space_sigmas(cfg: SiftConfig):
+    """Per-level incremental smoothing sigmas, identical for every octave
+    (vl/sift.c:394-404)."""
+    first = None
+    sa = cfg.sigma0 * cfg.sigma_k ** cfg.s_min
+    sb = cfg.sigma_n  # o_min = 0
+    if sa > sb:
+        first = math.sqrt(sa * sa - sb * sb)
+    inc = [cfg.dsigma0 * cfg.sigma_k ** s
+           for s in range(cfg.s_min + 1, cfg.s_max + 1)]
+    return first, inc
+
+
+def build_octave(base: jnp.ndarray, cfg: SiftConfig, first_sigma: float | None):
+    """GSS levels [S+3, H, W] from a base image (level s_min)."""
+    lvl = gaussian_blur(base, first_sigma) if first_sigma else base
+    levels = [lvl]
+    _, inc = scale_space_sigmas(cfg)
+    for sd in inc:
+        lvl = gaussian_blur(lvl, sd)
+        levels.append(lvl)
+    return jnp.stack(levels)
+
+
+def candidate_capacity(h: int, w: int) -> int:
+    """Static candidate-list capacity per octave. Strict 26-neighbor extrema
+    are sparse; this bound is generous for natural images (overflow drops
+    trailing candidates in scan order)."""
+    return max(1024, min((h * w) // 16, 32768))
+
+
+@partial(jax.jit, static_argnames=("cfg", "octave_index"))
+def _process_octave(octave: jnp.ndarray, cfg: SiftConfig, octave_index: int):
+    """Detect + refine + orient + describe all keypoints of one octave.
+
+    Returns fixed-capacity (desc, xy, sigma, valid) for this octave, with
+    xy/sigma in input-image coordinates.
+    """
+    n_lvl, h, w = octave.shape
+    xper = float(2 ** octave_index)
+    cap_cand = candidate_capacity(h, w)
+    cap_kp = min(cfg.max_keypoints_per_octave, cap_cand)
+    cap_desc = 2 * cap_kp
+
+    dog = sk.dog_stack(octave)
+    mask = sk.extrema_mask(dog, cfg.peak_thresh)
+    coords, cvalid = sk.compact_mask(mask, cap_cand)
+    ok, x, y, sigma, lvl = sk.refine_keypoints(
+        dog, coords, cvalid, w, h, cfg.peak_thresh, cfg.edge_thresh,
+        cfg.s_min, cfg.s_max, xper, cfg.sigma0, cfg.n_levels)
+
+    # compact accepted keypoints to cap_kp slots
+    (kp_idx,) = jnp.nonzero(ok, size=cap_kp, fill_value=0)
+    kp_valid = jnp.arange(cap_kp) < jnp.sum(ok.astype(jnp.int32))
+    x, y, sigma, lvl = x[kp_idx], y[kp_idx], sigma[kp_idx], lvl[kp_idx]
+
+    # gradient field for levels s in [s_min+1, s_max-2] (octave indices 1..S)
+    grad = sk.polar_gradient(octave[1:1 + cfg.n_levels])       # [S, H, W, 2]
+
+    r_ori = sk.ori_patch_radius(cfg.sigma0, cfg.n_levels, cfg.s_max)
+    grad_pad_ori = jnp.pad(grad, ((0, 0), (r_ori, r_ori), (r_ori, r_ori), (0, 0)))
+    lvl_idx = (lvl - cfg.s_min - 1).astype(jnp.int32)
+    angles, a_valid = sk.orientation_histograms(
+        grad_pad_ori, lvl_idx, x / xper, y / xper, sigma / xper, kp_valid,
+        w, h, r_ori, cfg.n_ori_bins, cfg.max_angles)
+
+    # expand keypoints x angles -> flat list, compact to cap_desc
+    ka_valid = a_valid.reshape(-1)                              # [cap_kp*4]
+    rep = lambda a: jnp.repeat(a, cfg.max_angles, axis=0)
+    ka_x, ka_y, ka_sigma, ka_lvl = map(rep, (x, y, sigma, lvl_idx))
+    ka_angle = angles.reshape(-1)
+    (da_idx,) = jnp.nonzero(ka_valid, size=cap_desc, fill_value=0)
+    d_valid = jnp.arange(cap_desc) < jnp.sum(ka_valid.astype(jnp.int32))
+    d_x, d_y, d_sigma, d_lvl, d_angle = (
+        ka_x[da_idx], ka_y[da_idx], ka_sigma[da_idx], ka_lvl[da_idx],
+        ka_angle[da_idx])
+
+    r_desc = sk.desc_patch_radius(cfg.sigma0, cfg.n_levels, cfg.s_max,
+                                  cfg.magnif, cfg.n_spatial_bins)
+    grad_pad_desc = jnp.pad(grad, ((0, 0), (r_desc, r_desc),
+                                   (r_desc, r_desc), (0, 0)))
+    desc, d_ok = sk.descriptors(
+        grad_pad_desc, d_lvl, d_x / xper, d_y / xper, d_sigma / xper,
+        d_angle, d_valid, w, h, r_desc, cfg.magnif,
+        cfg.n_spatial_bins / 2.0, cfg.n_spatial_bins, cfg.n_desc_ori_bins)
+
+    xy = jnp.stack([d_x, d_y], axis=-1)
+    return desc, xy, d_sigma, d_ok
+
+
+def sift_extract(gray: jnp.ndarray, cfg: SiftConfig = SiftConfig()) -> Features:
+    """Extract SIFT features from a grayscale image [H, W] float32 (0..255).
+
+    Equivalent of siftAlgorithm (ImageProcess.cpp:44-99): all octaves, up to
+    4 orientations per keypoint, one 128-d descriptor per orientation.
+    """
+    h, w = gray.shape
+    first_sigma, _ = scale_space_sigmas(cfg)
+
+    per_octave = []
+    base = gray.astype(jnp.float32)
+    for o in range(cfg.n_octaves):
+        oh, ow = h >> o, w >> o
+        if min(oh, ow) < 8:
+            break
+        octave = build_octave(base, cfg, first_sigma if o == 0 else None)
+        per_octave.append(_process_octave(octave, cfg, o))
+        if o + 1 < cfg.n_octaves:
+            # next octave base: decimate level s_min + S (octave index S)
+            base = vlfeat_downsample(octave[cfg.n_levels], 1)
+
+    desc = jnp.concatenate([p[0] for p in per_octave])
+    xy = jnp.concatenate([p[1] for p in per_octave])
+    sigma = jnp.concatenate([p[2] for p in per_octave])
+    valid = jnp.concatenate([p[3] for p in per_octave])
+
+    cap = cfg.max_keypoints
+    (idx,) = jnp.nonzero(valid, size=cap, fill_value=0)
+    out_valid = jnp.arange(cap) < jnp.sum(valid.astype(jnp.int32))
+    return Features(desc=desc[idx], xy=xy[idx], scale=sigma[idx],
+                    valid=out_valid)

@@ -1,0 +1,431 @@
+"""SIFT device kernels: DoG extrema, sub-pixel refinement, polar gradients,
+orientation assignment, descriptor computation.
+
+TPU-native re-design of VLFeat's per-keypoint scalar loops
+(/root/reference/vl/sift.c):
+
+- ``extrema_mask``       <- the 26-neighbor scan (vl_sift_detect, sift.c:539-603),
+  as one vectorized strict-compare over the whole [S, H, W] DoG block.
+- ``refine_keypoints``   <- the 5-iteration Newton refine (sift.c:612-757),
+  vmapped over a dense candidate list with validity masks instead of the
+  dynamic keys buffer (sift.c:580-590).
+- ``polar_gradient``     <- update_gradient (sift.c:791-876): central
+  differences inside, one-sided at borders; exact sqrt/atan2 instead of
+  vl_fast_sqrt_f/vl_fast_atan2_f (parity is count/coord tolerance, SURVEY §7).
+- ``orientation_histograms`` <- vl_sift_calc_keypoint_orientations
+  (sift.c:904-1036): per-keypoint window gather + bilinear 36-bin histogram
+  (VL_SIFT_BILINEAR_ORIENTATIONS is on, sift.c:12) as a one-hot MXU matmul,
+  6 rounds of circular [1,1,1]/3 smoothing, peak picking.
+- ``descriptors``        <- vl_sift_calc_keypoint_descriptor (sift.c:1268-1438):
+  the trilinear scatter into 4x4x8 bins is refactored into a separable
+  tensor contraction (two matmuls per keypoint) — scatter-free, MXU-shaped.
+
+All window sizes are static upper bounds derived from the scale-space
+geometry; per-keypoint dynamic extents are enforced with masks.
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+TWO_PI = 2.0 * math.pi
+EPSILON_F = 1.19209290e-07  # VL_EPSILON_F
+
+
+# ----------------------------------------------------------------- detection
+def dog_stack(octave: jnp.ndarray) -> jnp.ndarray:
+    """DoG from a GSS octave [L, H, W]: dog[s] = oct[s+1] - oct[s]
+    (sift.c:521-530)."""
+    return octave[1:] - octave[:-1]
+
+
+def extrema_mask(dog: jnp.ndarray, peak_thresh: float) -> jnp.ndarray:
+    """Strict 26-neighbor extremum mask (sift.c:539-603).
+
+    dog: [S, H, W] (S >= 3). Returns bool [S-2, H, W]: True at interior
+    (x,y in [1, dim-2]) points that are strict maxima (with v >= 0.8*tp
+    pre-gate) or strict minima (v <= -0.8*tp) of their 26-neighborhood.
+    Slice s of the output corresponds to dog level s+1.
+    """
+    v = dog[1:-1]
+    gate = 0.8 * peak_thresh
+    is_max = v >= gate
+    is_min = v <= -gate
+    for ds in (-1, 0, 1):
+        block = dog[1 + ds: dog.shape[0] - 1 + ds]
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if ds == 0 and dy == 0 and dx == 0:
+                    continue
+                nb = jnp.roll(block, shift=(-dy, -dx), axis=(1, 2))
+                is_max = is_max & (v > nb)
+                is_min = is_min & (v < nb)
+    mask = is_max | is_min
+    # zero the 1-pixel border (the reference never scans it)
+    h, w = mask.shape[1], mask.shape[2]
+    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    interior = (ys >= 1) & (ys <= h - 2) & (xs >= 1) & (xs <= w - 2)
+    return mask & interior[None]
+
+
+def compact_mask(mask: jnp.ndarray, capacity: int):
+    """Flatten a bool mask into index lists with a static capacity.
+
+    Returns (indices [capacity, ndim] int32, valid [capacity] bool) in
+    C-scan order (s, then y, then x — the reference's append order).
+    """
+    flat = mask.reshape(-1)
+    (idx,) = jnp.nonzero(flat, size=capacity, fill_value=0)
+    valid = jnp.arange(capacity) < jnp.sum(flat.astype(jnp.int32))
+    coords = jnp.stack(jnp.unravel_index(idx, mask.shape), axis=-1)
+    return coords.astype(jnp.int32), valid
+
+
+def _gather333(dog: jnp.ndarray, s: jnp.ndarray, y: jnp.ndarray, x: jnp.ndarray):
+    """3x3x3 neighborhood of dog at (s, y, x) -> [3,3,3] (ds, dy, dx)."""
+    return jax.lax.dynamic_slice(dog, (s - 1, y - 1, x - 1), (3, 3, 3))
+
+
+def _solve3_gauss(a_mat: jnp.ndarray, b_vec: jnp.ndarray):
+    """3x3 Gauss elimination with max-pivot and the reference's singular
+    fallback b=0 (sift.c:668-727). Uses closed-form solve + det guard:
+    the reference bails to b=0 when a pivot magnitude < 1e-10; we use the
+    determinant as the guard (equivalent up to conditioning; acceptance
+    gates |b|<1.5 filter the same points)."""
+    det = jnp.linalg.det(a_mat)
+    safe = jnp.abs(det) > 1e-18
+    a_safe = jnp.where(safe, a_mat, jnp.eye(3, dtype=a_mat.dtype))
+    sol = jnp.linalg.solve(a_safe, b_vec)
+    return jnp.where(safe, sol, jnp.zeros_like(b_vec))
+
+
+def _refine_one(dog: jnp.ndarray, s0: jnp.ndarray, y0: jnp.ndarray,
+                x0: jnp.ndarray, w: int, h: int,
+                peak_thresh: float, edge_thresh: float,
+                s_min: int, s_max: int, xper: float, sigma0: float,
+                n_levels: int):
+    """Refine one candidate (sift.c:612-757). s0 is the dog-stack index
+    (= s - s_min). Returns (ok, x, y, sigma, is_level, xn, yn)."""
+
+    def body(_, carry):
+        x, y = carry
+        n = _gather333(dog, s0, y, x)
+        dx_ = 0.5 * (n[1, 1, 2] - n[1, 1, 0])
+        dy_ = 0.5 * (n[1, 2, 1] - n[1, 0, 1])
+        ds_ = 0.5 * (n[2, 1, 1] - n[0, 1, 1])
+        dxx = n[1, 1, 2] + n[1, 1, 0] - 2 * n[1, 1, 1]
+        dyy = n[1, 2, 1] + n[1, 0, 1] - 2 * n[1, 1, 1]
+        dss = n[2, 1, 1] + n[0, 1, 1] - 2 * n[1, 1, 1]
+        dxy = 0.25 * (n[1, 2, 2] + n[1, 0, 0] - n[1, 2, 0] - n[1, 0, 2])
+        dxs = 0.25 * (n[2, 1, 2] + n[0, 1, 0] - n[0, 1, 2] - n[2, 1, 0])
+        dys = 0.25 * (n[2, 2, 1] + n[0, 0, 1] - n[0, 2, 1] - n[2, 0, 1])
+        a_mat = jnp.array([[dxx, dxy, dxs],
+                           [dxy, dyy, dys],
+                           [dxs, dys, dss]])
+        b = _solve3_gauss(a_mat, jnp.array([-dx_, -dy_, -ds_]))
+        step_x = jnp.where((b[0] > 0.6) & (x < w - 2), 1, 0) \
+            + jnp.where((b[0] < -0.6) & (x > 1), -1, 0)
+        step_y = jnp.where((b[1] > 0.6) & (y < h - 2), 1, 0) \
+            + jnp.where((b[1] < -0.6) & (y > 1), -1, 0)
+        return x + step_x, y + step_y
+
+    # 5 iterations; once converged the recomputation is a fixed point, so
+    # running all 5 matches the reference's early break.
+    x, y = jax.lax.fori_loop(0, 5, body, (x0, y0))
+
+    n = _gather333(dog, s0, y, x)
+    dx_ = 0.5 * (n[1, 1, 2] - n[1, 1, 0])
+    dy_ = 0.5 * (n[1, 2, 1] - n[1, 0, 1])
+    ds_ = 0.5 * (n[2, 1, 1] - n[0, 1, 1])
+    dxx = n[1, 1, 2] + n[1, 1, 0] - 2 * n[1, 1, 1]
+    dyy = n[1, 2, 1] + n[1, 0, 1] - 2 * n[1, 1, 1]
+    dss = n[2, 1, 1] + n[0, 1, 1] - 2 * n[1, 1, 1]
+    dxy = 0.25 * (n[1, 2, 2] + n[1, 0, 0] - n[1, 2, 0] - n[1, 0, 2])
+    dxs = 0.25 * (n[2, 1, 2] + n[0, 1, 0] - n[0, 1, 2] - n[2, 1, 0])
+    dys = 0.25 * (n[2, 2, 1] + n[0, 0, 1] - n[0, 2, 1] - n[2, 0, 1])
+    a_mat = jnp.array([[dxx, dxy, dxs],
+                       [dxy, dyy, dys],
+                       [dxs, dys, dss]])
+    b = _solve3_gauss(a_mat, jnp.array([-dx_, -dy_, -ds_]))
+
+    s = s0 + s_min  # actual scale level of this dog slice center
+    val = n[1, 1, 1] + 0.5 * (dx_ * b[0] + dy_ * b[1] + ds_ * b[2])
+    score_den = dxx * dyy - dxy * dxy
+    score = (dxx + dyy) * (dxx + dyy) / jnp.where(score_den == 0, 1e-30, score_den)
+    xn = x.astype(jnp.float32) + b[0]
+    yn = y.astype(jnp.float32) + b[1]
+    sn = s.astype(jnp.float32) + b[2]
+    te = edge_thresh
+    ok = (jnp.abs(val) > peak_thresh) \
+        & (score < (te + 1.0) * (te + 1.0) / te) & (score >= 0) \
+        & (jnp.abs(b[0]) < 1.5) & (jnp.abs(b[1]) < 1.5) & (jnp.abs(b[2]) < 1.5) \
+        & (xn >= 0) & (xn <= w - 1) & (yn >= 0) & (yn <= h - 1) \
+        & (sn >= s_min) & (sn <= s_max)
+    sigma = sigma0 * 2.0 ** (sn / n_levels) * xper
+    return ok, xn * xper, yn * xper, sigma, s
+
+
+@partial(jax.jit, static_argnames=("w", "h", "peak_thresh", "edge_thresh",
+                                   "s_min", "s_max", "xper", "sigma0",
+                                   "n_levels"))
+def refine_keypoints(dog: jnp.ndarray, coords: jnp.ndarray, valid: jnp.ndarray,
+                     w: int, h: int, peak_thresh: float, edge_thresh: float,
+                     s_min: int, s_max: int, xper: float, sigma0: float,
+                     n_levels: int):
+    """Vmapped refinement. coords: [N, 3] (mask-slice s, y, x) from
+    compact_mask over extrema_mask output; mask slice s corresponds to dog
+    level s+1. Returns (ok, x, y, sigma, is_level) arrays of length N,
+    where x/y/sigma are in input-image units (xper-scaled)."""
+    s_dog = coords[:, 0] + 1
+    fn = jax.vmap(lambda s, y, x: _refine_one(
+        dog, s, y, x, w, h, peak_thresh, edge_thresh, s_min, s_max,
+        xper, sigma0, n_levels))
+    ok, x, y, sigma, lvl = fn(s_dog, coords[:, 1], coords[:, 2])
+    return ok & valid, x, y, sigma, lvl
+
+
+# ------------------------------------------------------------------ gradient
+@jax.jit
+def polar_gradient(levels: jnp.ndarray) -> jnp.ndarray:
+    """Polar gradient field (update_gradient, sift.c:791-876).
+
+    levels: [L, H, W]. Returns [L, H, W, 2] with (modulus, angle); angle in
+    [0, 2pi) per vl_mod_2pi_f(atan2 + 2pi). Central differences inside,
+    one-sided at the borders — exactly np.gradient's scheme.
+    """
+    src = levels
+    gx_mid = 0.5 * (src[:, :, 2:] - src[:, :, :-2])
+    gx = jnp.concatenate([
+        (src[:, :, 1:2] - src[:, :, 0:1]), gx_mid,
+        (src[:, :, -1:] - src[:, :, -2:-1])], axis=2)
+    gy_mid = 0.5 * (src[:, 2:, :] - src[:, :-2, :])
+    gy = jnp.concatenate([
+        (src[:, 1:2, :] - src[:, 0:1, :]), gy_mid,
+        (src[:, -1:, :] - src[:, -2:-1, :])], axis=1)
+    mod = jnp.sqrt(gx * gx + gy * gy)
+    ang = jnp.mod(jnp.arctan2(gy, gx) + TWO_PI, TWO_PI)
+    return jnp.stack([mod, ang], axis=-1)
+
+
+# --------------------------------------------------------------- orientation
+def ori_patch_radius(sigma0: float, n_levels: int, s_max: int) -> int:
+    """Static upper bound for the orientation window radius W =
+    floor(3 * 1.5 * sigma) (sift.c:934): sn < min(s_max, (s_max-2)+1.5)."""
+    sn_max = min(float(s_max), (s_max - 2) + 1.5)
+    sigma_max = sigma0 * 2.0 ** (sn_max / n_levels)
+    return max(int(math.floor(3.0 * 1.5 * sigma_max)), 1)
+
+
+def _gather_patch(grad_pad: jnp.ndarray, lvl: jnp.ndarray, yc: jnp.ndarray,
+                  xc: jnp.ndarray, radius: int):
+    """[P, P, 2] patch of the zero-padded grad field centered at (yc, xc)
+    of level lvl. grad_pad: [L, H+2R, W+2R, 2] padded with R >= radius."""
+    p = 2 * radius + 1
+    return jax.lax.dynamic_slice(
+        grad_pad, (lvl, yc, xc, 0),
+        (1, p, p, 2))[0]
+
+
+@partial(jax.jit, static_argnames=("radius", "n_bins", "max_angles", "winf"))
+def orientation_histograms(grad_pad: jnp.ndarray, lvl_idx: jnp.ndarray,
+                           x: jnp.ndarray, y: jnp.ndarray, sigma: jnp.ndarray,
+                           valid: jnp.ndarray, w: int | jnp.ndarray,
+                           h: int | jnp.ndarray,
+                           radius: int, n_bins: int = 36,
+                           max_angles: int = 4, winf: float = 1.5):
+    """Keypoint orientations (sift.c:904-1036), vmapped.
+
+    grad_pad: [L, H+2R, W+2R, 2] zero-padded polar gradient (R = radius).
+    lvl_idx: [N] gradient-level index (is - s_min - 1); x, y, sigma: [N]
+    octave-local coordinates (already divided by xper).
+    Returns (angles [N, max_angles], angle_valid [N, max_angles]).
+    """
+    n = x.shape[0]
+    p = 2 * radius + 1
+
+    xi = jnp.floor(x + 0.5).astype(jnp.int32)   # (int)(x + 0.5) for x >= 0
+    yi = jnp.floor(y + 0.5).astype(jnp.int32)
+
+    in_bounds = (xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1)
+    ok = valid & in_bounds
+    xi_c = jnp.clip(xi, 0, w - 1)
+    yi_c = jnp.clip(yi, 0, h - 1)
+
+    patches = jax.vmap(lambda l, yy, xx: _gather_patch(grad_pad, l, yy, xx, radius))(
+        lvl_idx, yi_c, xi_c)                      # [N, P, P, 2]
+    mod = patches[..., 0]
+    ang = patches[..., 1]
+
+    dyx = jnp.arange(p, dtype=jnp.float32) - radius    # ys/xs offsets
+    xs = dyx[None, None, :]                             # [1, 1, P]
+    ys = dyx[None, :, None]                             # [1, P, 1]
+    dx = (xi_c.astype(jnp.float32)[:, None, None] + xs) - x[:, None, None]
+    dy = (yi_c.astype(jnp.float32)[:, None, None] + ys) - y[:, None, None]
+    r2 = dx * dx + dy * dy
+
+    sigmaw = winf * sigma                               # [N]
+    wr = jnp.maximum(jnp.floor(3.0 * sigmaw), 1.0)      # per-kp W
+    # pixel participates if |xs|<=W, |ys|<=W, in-image, r2 < W^2 + 0.6
+    img_x = xi_c[:, None, None] + xs.astype(jnp.int32)
+    img_y = yi_c[:, None, None] + ys.astype(jnp.int32)
+    sel = (jnp.abs(xs) <= wr[:, None, None]) & (jnp.abs(ys) <= wr[:, None, None]) \
+        & (img_x >= 0) & (img_x <= w - 1) & (img_y >= 0) & (img_y <= h - 1) \
+        & (r2 < wr[:, None, None] ** 2 + 0.6)
+
+    wgt = jnp.exp(-r2 / (2.0 * sigmaw[:, None, None] ** 2))
+    mw = jnp.where(sel, mod * wgt, 0.0).reshape(n, p * p)
+
+    fbin = (n_bins * ang / TWO_PI).reshape(n, p * p)
+    b0 = jnp.floor(fbin - 0.5)
+    rbin = fbin - b0 - 0.5
+    i1 = jnp.mod(b0.astype(jnp.int32) + n_bins, n_bins)
+    i2 = jnp.mod(b0.astype(jnp.int32) + 1 + n_bins, n_bins)
+    oh1 = jax.nn.one_hot(i1, n_bins, dtype=jnp.float32)
+    oh2 = jax.nn.one_hot(i2, n_bins, dtype=jnp.float32)
+    hist = jnp.einsum("np,npb->nb", mw * (1.0 - rbin), oh1,
+                      precision=jax.lax.Precision.HIGHEST) \
+        + jnp.einsum("np,npb->nb", mw * rbin, oh2,
+                     precision=jax.lax.Precision.HIGHEST)
+
+    # 6 rounds of circular [1,1,1]/3 smoothing (sift.c:1000-1011)
+    for _ in range(6):
+        hist = (jnp.roll(hist, 1, axis=1) + hist + jnp.roll(hist, -1, axis=1)) / 3.0
+
+    hmax = jnp.max(hist, axis=1, keepdims=True)
+    hm = jnp.roll(hist, 1, axis=1)
+    hp = jnp.roll(hist, -1, axis=1)
+    is_peak = (hist > 0.8 * hmax) & (hist > hm) & (hist > hp)
+
+    di = -0.5 * (hp - hm) / jnp.where(is_peak, hp + hm - 2 * hist, 1.0)
+    bins = jnp.arange(n_bins, dtype=jnp.float32)[None, :]
+    th = TWO_PI * (bins + di + 0.5) / n_bins
+
+    # keep the first max_angles peaks in bin order (sift.c:1018-1032)
+    rank = jnp.cumsum(is_peak.astype(jnp.int32), axis=1)
+    keep = is_peak & (rank <= max_angles) & ok[:, None]
+    # compact each row's kept angles to the front
+    order = jnp.where(keep, rank - 1, max_angles + 1)
+    angles = jnp.zeros((n, max_angles), jnp.float32)
+    avalid = jnp.zeros((n, max_angles), bool)
+    for a in range(max_angles):
+        sel_a = order == a
+        angles = angles.at[:, a].set(jnp.sum(jnp.where(sel_a, th, 0.0), axis=1))
+        avalid = avalid.at[:, a].set(jnp.any(sel_a, axis=1))
+    return angles, avalid
+
+
+# ---------------------------------------------------------------- descriptor
+def desc_patch_radius(sigma0: float, n_levels: int, s_max: int,
+                      magnif: float = 3.0, nbp: int = 4) -> int:
+    """Static bound for the descriptor window radius
+    W = floor(sqrt(2) * SBP * (NBP+1)/2 + 0.5) (sift.c:1310-1311)."""
+    sn_max = min(float(s_max), (s_max - 2) + 1.5)
+    sigma_max = sigma0 * 2.0 ** (sn_max / n_levels)
+    sbp = magnif * sigma_max
+    return int(math.floor(math.sqrt(2.0) * sbp * (nbp + 1) / 2.0 + 0.5))
+
+
+def _descriptor_one(grad_pad: jnp.ndarray, lvl: jnp.ndarray, x: jnp.ndarray,
+                    y: jnp.ndarray, sigma: jnp.ndarray, angle0: jnp.ndarray,
+                    w, h, radius: int, magnif: float, window_size: float,
+                    nbp: int, nbo: int):
+    """One descriptor (sift.c:1268-1438) as a separable contraction."""
+    p = 2 * radius + 1
+    xi = jnp.floor(x + 0.5).astype(jnp.int32)
+    yi = jnp.floor(y + 0.5).astype(jnp.int32)
+    xi_c = jnp.clip(xi, 0, w - 1)
+    yi_c = jnp.clip(yi, 0, h - 1)
+
+    patch = jax.lax.dynamic_slice(
+        grad_pad, (lvl, yi_c, xi_c, 0), (1, p, p, 2))[0]  # [P, P, 2]
+    mod = patch[..., 0]
+    ang = patch[..., 1]
+
+    st0 = jnp.sin(angle0)
+    ct0 = jnp.cos(angle0)
+    sbp = magnif * sigma + 2.220446049250313e-16          # VL_EPSILON_D
+    wr = jnp.floor(math.sqrt(2.0) * sbp * (nbp + 1) / 2.0 + 0.5)
+
+    offs = jnp.arange(p, dtype=jnp.float32) - radius
+    dxi = offs[None, :]                                    # [1, P]
+    dyi = offs[:, None]                                    # [P, 1]
+    # pixel loop bounds (sift.c:1352-1357): dyi in [max(-W,1-yi), min(W,h-yi-2)]
+    sel = (dxi >= jnp.maximum(-wr, 1.0 - xi_c)) & (dxi <= jnp.minimum(wr, w - xi_c - 2.0)) \
+        & (dyi >= jnp.maximum(-wr, 1.0 - yi_c)) & (dyi <= jnp.minimum(wr, h - yi_c - 2.0))
+
+    theta = jnp.mod(ang - angle0, TWO_PI)
+    dx = xi_c.astype(jnp.float32) + dxi - x
+    dy = yi_c.astype(jnp.float32) + dyi - y
+    nx = (ct0 * dx + st0 * dy) / sbp
+    ny = (-st0 * dx + ct0 * dy) / sbp
+    nt = nbo * theta / TWO_PI
+
+    wsigma = window_size
+    win = jnp.exp(-(nx * nx + ny * ny) / (2.0 * wsigma * wsigma))
+    base = jnp.where(sel, win * mod, 0.0).reshape(p * p)
+
+    half = nbp // 2
+    bin_centers = jnp.arange(nbp, dtype=jnp.float32) - half + 0.5  # -1.5..1.5
+    # spatial hat: weight of bin b = max(0, 1 - |n - center_b|)
+    wx = jnp.maximum(0.0, 1.0 - jnp.abs(nx.reshape(p * p)[:, None]
+                                        - bin_centers[None, :]))
+    wy = jnp.maximum(0.0, 1.0 - jnp.abs(ny.reshape(p * p)[:, None]
+                                        - bin_centers[None, :]))
+    # circular orientation hat over nbo bins
+    tb = jnp.arange(nbo, dtype=jnp.float32)[None, :]
+    dt = jnp.abs(nt.reshape(p * p)[:, None] - tb)
+    dt = jnp.minimum(dt, nbo - dt)
+    wt = jnp.maximum(0.0, 1.0 - dt)
+
+    z = (base[:, None] * wy)[:, :, None] * wx[:, None, :]   # [P2, nbp(y), nbp(x)]
+    desc = jnp.einsum("pq,pt->qt", z.reshape(p * p, nbp * nbp), wt,
+                      precision=jax.lax.Precision.HIGHEST)  # [16, 8]
+    desc = desc.reshape(nbp * nbp * nbo)                    # by*32 + bx*8 + bt
+
+    # guard (sift.c:1321-1329): note descriptor requires yi < h-1
+    ok = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h - 1)
+
+    # normalize -> clip 0.2 -> renormalize (sift.c:1415-1436)
+    norm1 = jnp.sqrt(jnp.sum(desc * desc)) + EPSILON_F
+    desc = desc / norm1
+    desc = jnp.minimum(desc, 0.2)
+    norm2 = jnp.sqrt(jnp.sum(desc * desc)) + EPSILON_F
+    desc = desc / norm2
+    return jnp.where(ok, desc, 0.0), ok
+
+
+@partial(jax.jit, static_argnames=("radius", "magnif", "window_size", "nbp",
+                                   "nbo", "chunk"))
+def descriptors(grad_pad: jnp.ndarray, lvl_idx: jnp.ndarray, x: jnp.ndarray,
+                y: jnp.ndarray, sigma: jnp.ndarray, angle: jnp.ndarray,
+                valid: jnp.ndarray, w, h, radius: int,
+                magnif: float = 3.0, window_size: float = 2.0,
+                nbp: int = 4, nbo: int = 8, chunk: int = 128):
+    """Batched descriptors. Inputs are flat keypoint-angle lists (octave-local
+    x, y, sigma). Processes in chunks to bound the [chunk, P^2, 16]
+    intermediate in HBM. Returns (desc [N, 128], ok [N])."""
+    n = x.shape[0]
+    n_pad = ((n + chunk - 1) // chunk) * chunk
+
+    def pad(a):
+        return jnp.pad(a, [(0, n_pad - n)] + [(0, 0)] * (a.ndim - 1))
+
+    lvl_p, x_p, y_p, s_p, a_p = map(pad, (lvl_idx, x, y, sigma, angle))
+
+    fn = jax.vmap(lambda l, xx, yy, ss, aa: _descriptor_one(
+        grad_pad, l, xx, yy, ss, aa, w, h, radius, magnif, window_size,
+        nbp, nbo))
+
+    def run_chunk(args):
+        return fn(*args)
+
+    args = tuple(a.reshape((n_pad // chunk, chunk) + a.shape[1:])
+                 for a in (lvl_p, x_p, y_p, s_p, a_p))
+    desc, ok = jax.lax.map(run_chunk, args)
+    desc = desc.reshape(n_pad, nbp * nbp * nbo)[:n]
+    ok = ok.reshape(n_pad)[:n]
+    return jnp.where(valid[:, None], desc, 0.0), ok & valid
