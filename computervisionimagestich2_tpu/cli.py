@@ -1,0 +1,71 @@
+"""CLI entry point.
+
+Replaces the reference's two mains: the hardcoded-path variant
+(/root/reference/main.cpp:3-11) and the stdin-driven ex6 variant
+(/root/reference/src/ex6/main.cpp:3-13, which reads dataset name + image
+count and writes result.bmp with wall-clock timing prints).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(
+        prog="panorama-tpu",
+        description="TPU-native panorama stitcher "
+                    "(images named 1.bmp..N.bmp in a directory)")
+    p.add_argument("--input", required=True,
+                   help="directory containing 1.bmp..N.bmp")
+    p.add_argument("--count", type=int, default=None,
+                   help="number of images (default: all i.bmp present)")
+    p.add_argument("--output", default="result.bmp")
+    p.add_argument("--ordering", choices=["graph", "chain"], default="graph",
+                   help="graph = unordered discovery (root variant); "
+                        "chain = pre-ordered left-to-right (ex6 variant)")
+    p.add_argument("--timing", action="store_true",
+                   help="print per-stage and end-to-end seconds "
+                        "(the ex6 clock() print)")
+    p.add_argument("--no-enhance", action="store_true",
+                   help="skip the equalization/luma-mix tail")
+    args = p.parse_args(argv)
+
+    import dataclasses
+
+    from .config import DEFAULT_CONFIG
+    from .models.stitcher import Stitcher
+    from .utils.io import load_image, save_image
+
+    count = args.count
+    if count is None:
+        count = 0
+        while os.path.exists(os.path.join(args.input, f"{count + 1}.bmp")):
+            count += 1
+    if count < 2:
+        p.error(f"need at least 2 images, found {count} in {args.input}")
+
+    paths = [os.path.join(args.input, f"{i}.bmp") for i in range(1, count + 1)]
+    images = [load_image(pth) for pth in paths]
+
+    cfg = dataclasses.replace(DEFAULT_CONFIG, ordering=args.ordering)
+    if args.ordering == "chain":
+        cfg = dataclasses.replace(
+            cfg, enhance=dataclasses.replace(cfg.enhance, mix_weight=5.0 / 6.0))
+
+    t0 = time.perf_counter()
+    stitcher = Stitcher(cfg)
+    out = stitcher.stitch(images)
+    elapsed = time.perf_counter() - t0
+
+    save_image(args.output, out)
+    if args.timing:
+        for stage, secs in stitcher.stage_times.items():
+            print(f"{stage}: {secs:.3f} s")
+        print(f"total time: {elapsed:.3f} s")
+    print(f"wrote {args.output} ({out.shape[1]}x{out.shape[0]})")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,102 @@
+"""Multi-band (Laplacian pyramid) blending.
+
+Equivalent of blendTwoImages (/root/reference/ImageProcess.cpp:648-773):
+
+1. Overlap centroid along the mid-height row -> vertical half-plane mask
+   (horizontal panoramas only, as the reference states at cpp:658).
+2. Gaussian pyramids of a, b, mask: blur sigma=2 + half-size resize.
+   The reference's blur is CImg's recursive Van Vliet (get_blur(2,true,true));
+   here it is the equivalent FIR Gaussian — within blend tolerance. The
+   resize is CImg-exact (ops.resize).
+3. Laplacian pyramids, per-level masked lerp, top-down reconstruction with
+   per-level clamping to [0, 255].
+
+Levels: floor(log2(max(w,h))) in the root variant (cpp:675-676) or
+floor(log2(min(w,h))) in ex6 (src/ex6/ImageProcess.cpp:662-665).
+
+The whole blend compiles to one fused XLA program per canvas shape; the
+pyramids are chains of separable convs + tiny resize matmuls on MXU/VPU.
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.gaussian import gaussian_blur
+from ..ops.resize import cimg_resize
+
+
+def _blur_hwc(img: jnp.ndarray, sigma: float) -> jnp.ndarray:
+    """Blur [H, W, C] (or [H, W]) along H and W only, like CImg blur."""
+    if img.ndim == 2:
+        return gaussian_blur(img, sigma)
+    moved = jnp.moveaxis(img, -1, 0)
+    return jnp.moveaxis(gaussian_blur(moved, sigma), 0, -1)
+
+
+def n_levels(h: int, w: int, mode: str = "max") -> int:
+    ext = max(w, h) if mode == "max" else min(w, h)
+    return int(math.floor(math.log2(ext)))
+
+
+@partial(jax.jit, static_argnames=("level_mode", "blur_sigma"))
+def blend_two_images(a: jnp.ndarray, b: jnp.ndarray,
+                     level_mode: str = "max",
+                     blur_sigma: float = 2.0) -> jnp.ndarray:
+    """Blend canvas a (new warped image) over b (previous result).
+
+    a, b: [H, W, 3] float32 (u8 values). Returns the blended float canvas
+    (the caller truncates to u8, as the reference's CImg assignment does).
+    """
+    h, w = a.shape[0], a.shape[1]
+    levels = n_levels(h, w, level_mode)
+
+    # -- half-plane mask from the mid-row overlap centroid (cpp:650-698)
+    mid = h // 2
+    row_a = a[mid, :, 0]
+    row_b = b[mid, :, 0]
+    xs = jnp.arange(w, dtype=jnp.float32)
+    a_nz = row_a != 0
+    both_nz = a_nz & (row_b != 0)
+    width_a = jnp.maximum(jnp.sum(a_nz.astype(jnp.float32)), 1.0)
+    width_ov = jnp.maximum(jnp.sum(both_nz.astype(jnp.float32)), 1.0)
+    ratio = jnp.sum(jnp.where(a_nz, xs, 0.0)) / width_a
+    overlap_ratio = jnp.sum(jnp.where(both_nz, xs, 0.0)) / width_ov
+    # a-content left of the overlap line -> mask the left half, else right
+    left_mask = (xs < overlap_ratio).astype(jnp.float32)
+    right_mask = (xs >= jnp.trunc(overlap_ratio + 1.0)).astype(jnp.float32)
+    mask_row = jnp.where(ratio < overlap_ratio, left_mask, right_mask)
+    mask0 = jnp.broadcast_to(mask_row[None, :], (h, w))
+
+    # -- gaussian pyramids (cpp:705-715)
+    a_pyr = [a]
+    b_pyr = [b]
+    m_pyr = [mask0]
+    for i in range(1, levels):
+        hp = a_pyr[-1].shape[0] // 2
+        wp = a_pyr[-1].shape[1] // 2
+        a_pyr.append(cimg_resize(_blur_hwc(a_pyr[-1], blur_sigma), hp, wp))
+        b_pyr.append(cimg_resize(_blur_hwc(b_pyr[-1], blur_sigma), hp, wp))
+        m_pyr.append(cimg_resize(_blur_hwc(m_pyr[-1], blur_sigma), hp, wp))
+
+    # -- laplacians (cpp:727-733)
+    for i in range(levels - 1):
+        hp, wp = a_pyr[i].shape[0], a_pyr[i].shape[1]
+        a_pyr[i] = a_pyr[i] - cimg_resize(a_pyr[i + 1], hp, wp)
+        b_pyr[i] = b_pyr[i] - cimg_resize(b_pyr[i + 1], hp, wp)
+
+    # -- masked lerp per level (cpp:744-753)
+    blend_pyr = [a_pyr[i] * m_pyr[i][..., None]
+                 + b_pyr[i] * (1.0 - m_pyr[i][..., None])
+                 for i in range(levels)]
+
+    # -- reconstruct with per-level clamp (cpp:762-771)
+    expand = blend_pyr[-1]
+    for i in range(levels - 2, -1, -1):
+        hp, wp = blend_pyr[i].shape[0], blend_pyr[i].shape[1]
+        expand = cimg_resize(expand, hp, wp)
+        expand = jnp.clip(blend_pyr[i] + expand, 0.0, 255.0)
+    return expand

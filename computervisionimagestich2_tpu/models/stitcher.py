@@ -1,0 +1,232 @@
+"""Panorama stitching pipeline — the flagship model.
+
+Equivalent of class ImageProcess (/root/reference/ImageProcess.cpp), re-built
+as a host orchestrator driving jit-compiled device stages:
+
+  per image:  cylindrical projection -> u8 luma -> SIFT        (device)
+  ordering:   match-graph discovery (root variant,
+              ImageProcess.cpp:101-147) or pre-ordered chain
+              (src/ex6/ImageProcess.cpp:150-159)               (host logic,
+              device match counts)
+  per edge:   exact ratio matching x2, vmapped RANSAC x2,
+              canvas plan (host scalars), warp + shift
+              composite, Laplacian blend                        (device)
+  tail:       histogram equalization + YCbCr luma mix           (device)
+
+Control crosses the host/device boundary once per stitch edge (SURVEY.md §3
+"process/device boundaries"). The reference's per-edge feature-coordinate
+bookkeeping — update the newly warped image's features by forward_H+offset
+and the *previous* stitched image's by offset only (ImageProcess.cpp:226-227,
+the pre-chaining that exactly covers BFS-from-middle chains) — is reproduced
+faithfully.
+"""
+from __future__ import annotations
+
+import time
+from collections import deque
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import DEFAULT_CONFIG, StitchConfig
+from ..core.types import Features, MatchPairs
+from ..ops.color import to_gray
+from ..ops.warp import cylindrical_project, trunc_u8, warp_xy
+from ..utils.io import load_image, save_image
+from . import compose
+from .blender import blend_two_images
+from .equalization import equalize_and_mix
+from .matcher import match_features
+from .ransac import ransac_warp
+from .sift import sift_extract
+
+
+@jax.jit
+def _update_features_by_warp(feats: Features, coeffs: jnp.ndarray,
+                             offset_x, offset_y) -> Features:
+    """updateFeaturesByHomography (ImageProcess.cpp:622-631)."""
+    xw, yw = warp_xy(coeffs, feats.xy[:, 0], feats.xy[:, 1])
+    xy = jnp.stack([xw - offset_x, yw - offset_y], axis=-1)
+    return feats._replace(xy=xy)
+
+
+@jax.jit
+def _update_features_by_offset(feats: Features, offset_x, offset_y) -> Features:
+    """updateFeaturesByOffset (ImageProcess.cpp:633-640). Offsets are the
+    int-truncated canvas mins at the call site (cpp:227)."""
+    xy = feats.xy - jnp.stack([offset_x, offset_y])[None, :]
+    return feats._replace(xy=xy)
+
+
+class Stitcher:
+    """Panorama stitcher with the reference's semantics and a TPU-native
+    execution plan."""
+
+    def __init__(self, config: StitchConfig = DEFAULT_CONFIG):
+        self.config = config
+        self.stage_times: dict[str, float] = {}
+
+    # ------------------------------------------------------------- features
+    def prepare(self, images: Sequence[np.ndarray]):
+        """Project + SIFT for each input image (readFile,
+        ImageProcess.cpp:11-24). Returns (projected f32 arrays, Features)."""
+        cfg = self.config
+        projected, feats = [], []
+        for img in images:
+            img_f = jnp.asarray(np.asarray(img), jnp.float32)
+            proj = cylindrical_project(img_f, cfg.projection.angle_deg)
+            gray = to_gray(proj)
+            feats.append(sift_extract(gray, cfg.sift))
+            projected.append(proj)
+        return projected, feats
+
+    # ------------------------------------------------------------- ordering
+    def _match_graph(self, feats) -> list[list[int]]:
+        """All-pairs stitchability (ImageProcess.cpp:101-137): edge (i, j)
+        iff match count >= THRESHOLD. Counts use getImgPair(i, j) for i < j
+        (the reference's stichingMat[j][i] shortcut makes edges symmetric)."""
+        n = len(feats)
+        cfg = self.config.match
+        adj = [[False] * n for _ in range(n)]
+        for i in range(n):
+            for j in range(i + 1, n):
+                pairs = match_features(feats[i], feats[j],
+                                       cfg.ratio_threshold, cfg.distance,
+                                       cfg.max_matches)
+                count = int(np.asarray(pairs.count()))
+                adj[i][j] = adj[j][i] = count >= cfg.pair_threshold
+        return adj
+
+    @staticmethod
+    def _chain_adjacency(n: int) -> list[list[bool]]:
+        """ex6: images are pre-ordered left-to-right
+        (src/ex6/ImageProcess.cpp:150-159)."""
+        adj = [[False] * n for _ in range(n)]
+        for i in range(n - 1):
+            adj[i][i + 1] = adj[i + 1][i] = True
+        return adj
+
+    @staticmethod
+    def _middle_index(adj: list[list[bool]]) -> int:
+        """Intended behavior of getMiddleIndex (ImageProcess.cpp:353-393):
+        walk the chain from an endpoint, return the middle of the walk.
+        (The root variant's visited check is buggy — SURVEY.md §5 'race
+        detection'; we implement the intent.)"""
+        n = len(adj)
+        degree = [sum(row) for row in adj]
+        edge = next((i for i in range(n) if degree[i] == 1), 0)
+        que, seen = [edge], {edge}
+        cur = edge
+        while True:
+            nxt = next((j for j in range(n)
+                        if adj[cur][j] and j not in seen), None)
+            if nxt is None:
+                break
+            que.append(nxt)
+            seen.add(nxt)
+            cur = nxt
+        return que[len(que) // 2]
+
+    # ---------------------------------------------------------------- edges
+    def _stitch_edge(self, result, feats, projected, src_i: int, dst_i: int,
+                     pre_i: int):
+        """One stitch step (ImageProcess.cpp:176-233). Returns
+        (new_result, new_pre_index)."""
+        cfg = self.config
+        mcfg = cfg.match
+
+        s2d = match_features(feats[src_i], feats[dst_i], mcfg.ratio_threshold,
+                             mcfg.distance, mcfg.max_matches)
+        d2s = match_features(feats[dst_i], feats[src_i], mcfg.ratio_threshold,
+                             mcfg.distance, mcfg.max_matches)
+        n_s2d = int(np.asarray(s2d.count()))
+        n_d2s = int(np.asarray(d2s.count()))
+        # keep the direction with more matches (ImageProcess.cpp:185-198)
+        if n_s2d > n_d2s:
+            d2s = s2d.swapped()
+        else:
+            s2d = d2s.swapped()
+
+        key = jax.random.PRNGKey(cfg.ransac.seed)
+        forward, _, _ = ransac_warp(d2s, key, cfg.ransac.n_hypotheses,
+                                    cfg.ransac.threshold, cfg.ransac.n_sample)
+        backward, _, _ = ransac_warp(s2d, key, cfg.ransac.n_hypotheses,
+                                     cfg.ransac.threshold, cfg.ransac.n_sample)
+
+        fwd_host = np.asarray(forward)
+        src_shape = projected[dst_i].shape[:2]
+        new_h, new_w, min_x, min_y = compose.canvas_plan(
+            fwd_host, src_shape, result.shape[:2])
+
+        a, b = compose.composite(projected[dst_i], result, backward,
+                                 min_x, min_y, (new_h, new_w))
+
+        feats[dst_i] = _update_features_by_warp(
+            feats[dst_i], forward, jnp.float32(min_x), jnp.float32(min_y))
+        feats[pre_i] = _update_features_by_offset(
+            feats[pre_i], jnp.float32(int(min_x)), jnp.float32(int(min_y)))
+
+        blended = blend_two_images(a, b, cfg.blend.level_mode,
+                                   cfg.blend.blur_sigma)
+        return trunc_u8(blended), dst_i
+
+    # ----------------------------------------------------------------- main
+    def stitch(self, images: Sequence[np.ndarray]) -> np.ndarray:
+        """Full pipeline (ImageProcess ctor + matching). Returns the final
+        u8 RGB panorama."""
+        cfg = self.config
+        t0 = time.perf_counter()
+        projected, feats = self.prepare(images)
+        jax.block_until_ready(feats)
+        self.stage_times["features"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        n = len(images)
+        if cfg.ordering == "chain":
+            adj = self._chain_adjacency(n)
+            start = n // 2  # src/ex6/ImageProcess.cpp:163
+        else:
+            adj = self._match_graph(feats)
+            start = self._middle_index(adj)
+        self.stage_times["ordering"] = time.perf_counter() - t0
+
+        # BFS stitch loop (ImageProcess.cpp:149-236)
+        t0 = time.perf_counter()
+        neighbors = [[j for j in range(n) if adj[i][j]] for i in range(n)]
+        result = projected[start]
+        pre = start
+        queue = deque([start])
+        while queue:
+            src_i = queue.popleft()
+            for dst_i in reversed(neighbors[src_i]):
+                if not adj[src_i][dst_i]:
+                    continue
+                adj[src_i][dst_i] = adj[dst_i][src_i] = False
+                queue.append(dst_i)
+                result, pre = self._stitch_edge(result, feats, projected,
+                                                src_i, dst_i, pre)
+        jax.block_until_ready(result)
+        self.stage_times["stitching"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        final = equalize_and_mix(result, cfg.enhance.compat_luma,
+                                 cfg.enhance.mix_weight)
+        final = np.asarray(final).astype(np.uint8)
+        self.stage_times["enhance"] = time.perf_counter() - t0
+        return final
+
+
+def stitch(images: Sequence[np.ndarray],
+           config: StitchConfig = DEFAULT_CONFIG) -> np.ndarray:
+    return Stitcher(config).stitch(images)
+
+
+def stitch_files(paths: Sequence[str],
+                 config: StitchConfig = DEFAULT_CONFIG,
+                 output: str | None = None) -> np.ndarray:
+    out = stitch([load_image(p) for p in paths], config)
+    if output:
+        save_image(output, out)
+    return out

@@ -1,0 +1,181 @@
+"""Oracle tests for the Laplacian blend, equalization, color transfer, and
+the compose planner."""
+import math
+
+import numpy as np
+import pytest
+
+from computervisionimagestich2_tpu.models import compose
+from computervisionimagestich2_tpu.models.blender import blend_two_images
+from computervisionimagestich2_tpu.models.equalization import (
+    equalize_and_mix,
+    equalize_color,
+)
+from computervisionimagestich2_tpu.models.transfer import color_transfer
+from computervisionimagestich2_tpu.ops.gaussian import gauss_taps
+
+
+# ------------------------------------------------------------ blend oracle
+def _blur2d(img, sigma):
+    taps = gauss_taps(sigma).astype(np.float64)
+    r = (len(taps) - 1) // 2
+    if img.ndim == 2:
+        img = img[..., None]
+    out = np.zeros_like(img, dtype=np.float64)
+    pad = np.pad(img, ((0, 0), (r, r), (0, 0)), mode="edge")
+    for x in range(img.shape[1]):
+        out[:, x] = np.tensordot(pad[:, x:x + 2 * r + 1], taps, axes=(1, 0))
+    pad = np.pad(out, ((r, r), (0, 0), (0, 0)), mode="edge")
+    out2 = np.zeros_like(out)
+    for y in range(img.shape[0]):
+        out2[y] = np.tensordot(pad[y:y + 2 * r + 1], taps, axes=(0, 0))
+    return out2.squeeze(-1) if out2.shape[-1] == 1 else out2
+
+
+def _resize_w(n_src, n_dst):
+    from computervisionimagestich2_tpu.ops.resize import _resize_weights
+    return _resize_weights(n_src, n_dst).astype(np.float64)
+
+
+def _resize(img, oh, ow):
+    squeeze = img.ndim == 2
+    if squeeze:
+        img = img[..., None]
+    wx = _resize_w(img.shape[1], ow)
+    wy = _resize_w(img.shape[0], oh)
+    out = np.einsum("xw,hwc->hxc", wx, img)
+    out = np.einsum("yh,hxc->yxc", wy, out)
+    return out.squeeze(-1) if squeeze else out
+
+
+def _blend_oracle(a, b):
+    """Transcription of blendTwoImages (ImageProcess.cpp:648-773) using the
+    same FIR blur as the implementation (structure test)."""
+    h, w = a.shape[:2]
+    mid = h // 2
+    row_a, row_b = a[mid, :, 0], b[mid, :, 0]
+    nz = row_a != 0
+    ov = nz & (row_b != 0)
+    xs = np.arange(w)
+    ratio = xs[nz].sum() / max(nz.sum(), 1)
+    ov_ratio = xs[ov].sum() / max(ov.sum(), 1)
+    mask = np.zeros((h, w))
+    if ratio < ov_ratio:
+        mask[:, [x for x in range(w) if x < ov_ratio]] = 1
+    else:
+        mask[:, int(ov_ratio + 1):] = 1
+
+    levels = int(math.floor(math.log2(max(w, h))))
+    ap, bp, mp = [a.astype(np.float64)], [b.astype(np.float64)], [mask]
+    for i in range(1, levels):
+        hp, wp = ap[-1].shape[0] // 2, ap[-1].shape[1] // 2
+        ap.append(_resize(_blur2d(ap[-1], 2.0), hp, wp))
+        bp.append(_resize(_blur2d(bp[-1], 2.0), hp, wp))
+        mp.append(_resize(_blur2d(mp[-1], 2.0), hp, wp))
+    for i in range(levels - 1):
+        ap[i] = ap[i] - _resize(ap[i + 1], *ap[i].shape[:2])
+        bp[i] = bp[i] - _resize(bp[i + 1], *bp[i].shape[:2])
+    bl = [ap[i] * mp[i][..., None] + bp[i] * (1 - mp[i][..., None])
+          for i in range(levels)]
+    expand = bl[-1]
+    for i in range(levels - 2, -1, -1):
+        expand = _resize(expand, *bl[i].shape[:2])
+        expand = np.clip(bl[i] + expand, 0, 255)
+    return expand
+
+
+def test_blend_matches_oracle(rng):
+    h, w = 40, 96
+    a = np.zeros((h, w, 3), np.float32)
+    b = np.zeros((h, w, 3), np.float32)
+    a[:, 30:] = rng.integers(40, 255, (h, 66, 3)).astype(np.float32)
+    b[:, :60] = rng.integers(40, 255, (h, 60, 3)).astype(np.float32)
+    got = np.asarray(blend_two_images(a, b))
+    expect = _blend_oracle(a, b)
+    assert np.abs(got - expect).max() < 0.5, np.abs(got - expect).max()
+
+
+def test_blend_nonoverlap_passthrough(rng):
+    """Outside the seam region each side should keep (approximately) its own
+    content."""
+    h, w = 32, 64
+    a = np.zeros((h, w, 3), np.float32)
+    b = np.zeros((h, w, 3), np.float32)
+    a[:, 30:] = 200.0
+    b[:, :40] = 100.0
+    out = np.asarray(blend_two_images(a, b))
+    # On a tiny canvas the coarse pyramid levels mix in the black borders
+    # (reference behavior), so only the ordering is asserted: each side stays
+    # closer to its own content.
+    assert out[16, 60, 0] > 128.0  # a-side dominated by a=200
+    assert out[16, 5, 0] < 128.0   # b-side dominated by b=100
+    assert out[16, 60, 0] > out[16, 5, 0] + 30.0
+
+
+# ------------------------------------------------------- equalization oracle
+def _eq_color_oracle(img):
+    img = img.astype(np.float64)
+    r, g, b = img[..., 0], img[..., 1], img[..., 2]
+    y = 0.299 * r + 0.857 * g + 0.114 * b
+    cb = 128 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    clamp = lambda v: np.where(v > 0, np.where(v < 256, v, 255), 0)
+    y, cb, cr = (np.trunc(clamp(c)) for c in (y, cb, cr))
+    hist = np.bincount(y.astype(int).ravel(), minlength=256)
+    cdf = np.cumsum(hist / y.size)
+    lut = np.round(255 * cdf)
+    y2 = lut[y.astype(int)]
+    r2 = y2 + 1.402 * (cr - 128)
+    g2 = y2 - 0.34414 * (cb - 128) - 0.71414 * (cr - 128)
+    b2 = y2 + 1.772 * (cb - 128)
+    return np.stack([np.trunc(clamp(r2)), np.trunc(clamp(g2)),
+                     np.trunc(clamp(b2))], -1)
+
+
+def test_equalize_color_matches_oracle(rng):
+    img = rng.integers(0, 256, (24, 32, 3)).astype(np.float32)
+    got = np.asarray(equalize_color(img))
+    expect = _eq_color_oracle(img)
+    # float32 rounding can flip an occasional truncation by 1
+    assert (np.abs(got - expect) > 1).mean() < 0.01
+
+
+def test_equalize_and_mix_increases_contrast_low_contrast_image(rng):
+    img = rng.integers(100, 140, (32, 32, 3)).astype(np.float32)
+    out = np.asarray(equalize_and_mix(img, True, 0.5))
+    assert out.std() > img.std() * 1.2
+
+
+# ------------------------------------------------------------ transfer oracle
+def test_color_transfer_matches_stats(rng):
+    src = rng.integers(30, 200, (20, 25, 3)).astype(np.float32)
+    tpl = rng.integers(60, 250, (30, 15, 3)).astype(np.float32)
+    out = np.asarray(color_transfer(src, tpl))
+    assert out.shape == src.shape
+    # the lab-space stats of out should approach the template's
+    from computervisionimagestich2_tpu.models.transfer import rgb_to_lab
+    lo = np.asarray(rgb_to_lab(out))
+    lt = np.asarray(rgb_to_lab(tpl))
+    np.testing.assert_allclose(lo.mean((0, 1)), lt.mean((0, 1)), atol=0.15)
+
+
+def test_color_transfer_identity(rng):
+    src = rng.integers(30, 220, (16, 16, 3)).astype(np.float32)
+    out = np.asarray(color_transfer(src, src))
+    assert np.abs(out - src).mean() < 2.0
+
+
+# --------------------------------------------------------------- compose plan
+def test_canvas_plan_identity():
+    ident = np.array([1, 0, 0, 0, 0, 1, 0, 0], np.float32)
+    nh, nw, mx, my = compose.canvas_plan(ident, (100, 200), (100, 200))
+    assert (nh, nw) == (100, 200) and mx == 0.0 and my == 0.0
+
+
+def test_canvas_plan_translation():
+    shift = np.array([1, 0, 0, -50.0, 0, 1, 0, 10.0], np.float32)
+    nh, nw, mx, my = compose.canvas_plan(shift, (100, 200), (100, 200))
+    # x' in [-50, 149] -> min_x=-50, max_x=max(149, 200)=200 -> w=250
+    assert mx == -50.0 and nw == 250
+    # y' in [10, 109] -> min_y=0, max_y=max(109,100)=109 -> h=109
+    assert my == 0.0 and nh == 109
