@@ -1,0 +1,50 @@
+"""Benchmark: 4-image Input/ panorama end-to-end on one TPU chip.
+
+Baseline: the reference stitches this dataset (4 x 384x512) in 1.83 s on an
+i9-9900K (/root/reference/16340028.md:728-744, BASELINE.md). vs_baseline is
+baseline_ms / our_ms (higher is better, >1 = faster than reference).
+
+Prints ONE JSON line. A cold run compiles every stage; timing is the median
+of warm runs (the compile cache is per-process).
+"""
+from __future__ import annotations
+
+import json
+import statistics
+import time
+
+
+def main():
+    try:
+        import jax
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    from computervisionimagestich2_tpu.models.stitcher import Stitcher
+    from computervisionimagestich2_tpu.utils.io import load_image
+
+    images = [load_image(f"/root/reference/Input/{i}.bmp") for i in range(1, 5)]
+    stitcher = Stitcher()
+
+    stitcher.stitch(images)  # cold: compile everything
+
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = stitcher.stitch(images)
+        times.append((time.perf_counter() - t0) * 1000.0)
+
+    ms = statistics.median(times)
+    baseline_ms = 1830.0
+    print(json.dumps({
+        "metric": "panorama_4img_384x512_e2e_ms",
+        "value": round(ms, 2),
+        "unit": "ms",
+        "vs_baseline": round(baseline_ms / ms, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

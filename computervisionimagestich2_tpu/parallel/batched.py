@@ -1,0 +1,66 @@
+"""Batched / sharded panorama kernels (BASELINE.json config 3).
+
+Panoramas (and registration pairs) are independent, so the batch axis shards
+cleanly over the ``data`` mesh axis with zero cross-image communication —
+the TPU-native form of "stitch many panoramas at once". The whole pairwise
+registration (SIFT x2 -> exact match -> vmapped RANSAC) runs as ONE jitted
+SPMD program over the mesh.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import StitchConfig, DEFAULT_CONFIG
+from ..models.matcher import match_features
+from ..models.ransac import ransac_warp
+from ..models.sift import sift_extract
+from ..ops.color import to_gray
+from ..ops.warp import cylindrical_project
+
+
+def _register_one(gray_a: jnp.ndarray, gray_b: jnp.ndarray,
+                  cfg: StitchConfig):
+    """Pairwise registration: features of a and b -> warp coeffs b->a."""
+    fa = sift_extract(gray_a, cfg.sift)
+    fb = sift_extract(gray_b, cfg.sift)
+    pairs = match_features(fb, fa, cfg.match.ratio_threshold,
+                           cfg.match.distance, cfg.match.max_matches)
+    key = jax.random.PRNGKey(cfg.ransac.seed)
+    coeffs, _, n_inliers = ransac_warp(pairs, key, cfg.ransac.n_hypotheses,
+                                       cfg.ransac.threshold,
+                                       cfg.ransac.n_sample)
+    return coeffs, n_inliers
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def batched_pairwise_register(gray_a: jnp.ndarray, gray_b: jnp.ndarray,
+                              cfg: StitchConfig = DEFAULT_CONFIG):
+    """vmapped registration over a batch of pairs.
+
+    gray_a, gray_b: [B, H, W] float32 luma. Returns (coeffs [B, 8],
+    inliers [B]). Shard the batch axis over the mesh's ``data`` axis.
+    """
+    return jax.vmap(lambda a, b: _register_one(a, b, cfg))(gray_a, gray_b)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def batched_project_and_extract(images: jnp.ndarray,
+                                cfg: StitchConfig = DEFAULT_CONFIG):
+    """Cylindrical projection + luma + SIFT over a batch of images
+    [B, H, W, 3] — the vmapped form of readFile (ImageProcess.cpp:11-24),
+    the parallelism the reference's per-image threads only attempted
+    (src/ex6/ImageProcess.cpp:44-50 creates-then-joins inside the loop)."""
+    def one(img):
+        proj = cylindrical_project(img, cfg.projection.angle_deg)
+        return sift_extract(to_gray(proj), cfg.sift), proj
+    return jax.vmap(one)(images)
+
+
+def shard_batch(mesh: Mesh, *arrays):
+    """Place arrays with the batch axis sharded over the data axis."""
+    sharding = NamedSharding(mesh, P("data"))
+    return tuple(jax.device_put(a, sharding) for a in arrays)

@@ -1,0 +1,61 @@
+"""Compare our panorama against the reference's committed golden output.
+
+Golden: /root/reference/src/ex6/dataset1/result.bmp (1057x525), produced by
+the ex6 variant (chain ordering, 5/6:1/6 luma mix, min-dim pyramid levels)
+on images identical to Input/ (verified by md5). Geometry parity is loose by
+construction — RANSAC RNG and blend filters differ (SURVEY.md §7) — so the
+metrics are canvas-size delta, overlap-region mean abs diff, and PSNR.
+
+Run on TPU:  python scripts/compare_golden.py
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import sys
+
+import numpy as np
+
+
+def main():
+    from computervisionimagestich2_tpu.config import DEFAULT_CONFIG
+    from computervisionimagestich2_tpu.models.stitcher import Stitcher
+    from computervisionimagestich2_tpu.utils.io import load_image
+
+    golden = load_image("/root/reference/src/ex6/dataset1/result.bmp")
+    images = [load_image(f"/root/reference/src/ex6/dataset1/{i}.bmp")
+              for i in range(1, 5)]
+
+    cfg = dataclasses.replace(
+        DEFAULT_CONFIG, ordering="chain",
+        blend=dataclasses.replace(DEFAULT_CONFIG.blend, level_mode="min"),
+        enhance=dataclasses.replace(DEFAULT_CONFIG.enhance,
+                                    mix_weight=5.0 / 6.0))
+    ours = Stitcher(cfg).stitch(images)
+
+    gh, gw = golden.shape[:2]
+    oh, ow = ours.shape[:2]
+    h = min(gh, oh)
+    w = min(gw, ow)
+    a = golden[:h, :w].astype(np.float64)
+    b = ours[:h, :w].astype(np.float64)
+    # content-present overlap only (both non-black)
+    m = (a.sum(-1) > 0) & (b.sum(-1) > 0)
+    diff = np.abs(a - b)[m]
+    mse = float((diff ** 2).mean())
+    psnr = 10 * np.log10(255.0 ** 2 / mse) if mse > 0 else float("inf")
+    report = {
+        "golden_hw": [gh, gw],
+        "ours_hw": [oh, ow],
+        "canvas_delta": [abs(gh - oh), abs(gw - ow)],
+        "overlap_frac": float(m.mean()),
+        "mean_abs_diff": float(diff.mean()),
+        "psnr_db": round(psnr, 2),
+    }
+    print(json.dumps(report))
+    ok = abs(gh - oh) <= 8 and abs(gw - ow) <= 8 and diff.mean() < 40
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()

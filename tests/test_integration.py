@@ -1,0 +1,99 @@
+"""End-to-end pipeline tests (small shapes; CPU mesh).
+
+The full-resolution golden comparison against
+/root/reference/src/ex6/dataset1/result.bmp runs on TPU via
+scripts/compare_golden.py (too slow for the CPU test loop).
+"""
+import dataclasses
+
+import numpy as np
+import pytest
+
+from computervisionimagestich2_tpu.config import (
+    DEFAULT_CONFIG, MatchConfig, RansacConfig, SiftConfig)
+from computervisionimagestich2_tpu.models.stitcher import Stitcher
+
+
+SMALL = dataclasses.replace(
+    DEFAULT_CONFIG,
+    sift=SiftConfig(n_octaves=2, max_keypoints_per_octave=512,
+                    max_keypoints=1024),
+    match=MatchConfig(max_matches=512),
+    ransac=RansacConfig(n_hypotheses=64),
+)
+
+
+def make_scene(rng, h=140, w=200):
+    """A structured synthetic scene with blobs (so SIFT finds keypoints)."""
+    img = rng.uniform(60, 200, (h, w, 3)).astype(np.float64)
+    for _ in range(3):
+        img = (np.roll(img, 1, 0) + img + np.roll(img, -1, 0)) / 3
+        img = (np.roll(img, 1, 1) + img + np.roll(img, -1, 1)) / 3
+    ys, xs = np.mgrid[0:h, 0:w]
+    for _ in range(25):
+        cy, cx = rng.uniform(10, h - 10), rng.uniform(10, w - 10)
+        r = rng.uniform(3, 9)
+        col = rng.uniform(0, 255, 3)
+        m = ((ys - cy) ** 2 + (xs - cx) ** 2) < r * r
+        img[m] = col
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def test_two_image_panorama_chain(rng):
+    scene = make_scene(rng)
+    left = scene[:, :140]          # 140x140
+    right = scene[:, 60:]          # 140x140, 80px overlap
+    cfg = dataclasses.replace(SMALL, ordering="chain")
+    st = Stitcher(cfg)
+    out = st.stitch([left, right])
+    h, w = out.shape[:2]
+    # the panorama must be wider than one input and about as wide as the scene
+    assert w > 150, (h, w)
+    assert w <= 230 and h <= 170, (h, w)
+    assert out.dtype == np.uint8
+    # content present on both extremes
+    assert out[:, :30].mean() > 10 and out[:, -30:].mean() > 10
+
+
+def test_two_image_panorama_graph_ordering(rng):
+    scene = make_scene(rng)
+    left = scene[:, :140]
+    right = scene[:, 60:]
+    # small synthetic pairs yield fewer matches than real photos; lower the
+    # stitchability threshold (the reference's THRESHOLD=20 is tuned for
+    # real images)
+    cfg = dataclasses.replace(
+        SMALL, match=dataclasses.replace(SMALL.match, pair_threshold=5))
+    st = Stitcher(cfg)  # graph ordering: discovers the pair itself
+    out = st.stitch([right, left])  # order scrambled on purpose
+    assert out.shape[1] > 150
+
+
+def test_compat_api(tmp_path, rng):
+    from computervisionimagestich2_tpu.api import (
+        ImageProcess, Projection, equalization, transfer)
+
+    scene = make_scene(rng)
+    left, right = scene[:, :140], scene[:, 60:]
+    d = tmp_path / "ds"
+    d.mkdir()
+    from computervisionimagestich2_tpu.utils import save_image
+    save_image(str(d / "1.bmp"), left)
+    save_image(str(d / "2.bmp"), right)
+
+    cfg = dataclasses.replace(
+        SMALL, match=dataclasses.replace(SMALL.match, pair_threshold=5))
+    ip = ImageProcess(str(d), 2, cfg)
+    assert ip.result.shape[1] > 100
+    ip.save(str(d / "result.bmp"))
+    assert (d / "result.bmp").exists()
+
+    proj = Projection.imageProjection(scene)
+    assert proj.shape == scene.shape
+
+    eq = equalization(scene, 1)
+    assert eq.shape == scene.shape
+    assert np.array_equal(equalization(scene, 0), scene)  # mode-0 quirk
+
+    tr = transfer(left, right)
+    assert tr.shape == left.shape
