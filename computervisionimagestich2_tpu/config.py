@@ -107,6 +107,9 @@ class BlendConfig:
     # ex6 variant:  levels = floor(log2(min(w,h))) (src/ex6/ImageProcess.cpp:662-665)
     level_mode: str = "max"       # "max" (root) | "min" (ex6)
     max_levels: int = 12
+    # Extension beyond the reference (BASELINE.json config 4): match the
+    # incoming image's overlap-mean luma to the canvas before blending.
+    gain_compensation: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -63,6 +63,15 @@ def candidate_capacity(h: int, w: int) -> int:
     return max(1024, min((h * w) // 16, 32768))
 
 
+def keypoint_capacity(h: int, w: int, cap_max: int) -> int:
+    """Static accepted-keypoint capacity per octave. VLFeat densities on
+    natural images are ~1 keypoint per 500 px at these settings; 1/128 px
+    leaves ~4x headroom while keeping the per-keypoint orientation and
+    descriptor batches (the dominant SIFT cost) proportional to octave
+    area instead of a global worst case."""
+    return max(128, min((h * w) // 128, cap_max))
+
+
 @partial(jax.jit, static_argnames=("cfg", "octave_index"))
 def _process_octave(octave: jnp.ndarray, cfg: SiftConfig, octave_index: int):
     """Detect + refine + orient + describe all keypoints of one octave.
@@ -73,8 +82,9 @@ def _process_octave(octave: jnp.ndarray, cfg: SiftConfig, octave_index: int):
     n_lvl, h, w = octave.shape
     xper = float(2 ** octave_index)
     cap_cand = candidate_capacity(h, w)
-    cap_kp = min(cfg.max_keypoints_per_octave, cap_cand)
-    cap_desc = 2 * cap_kp
+    cap_kp = keypoint_capacity(h, w, cfg.max_keypoints_per_octave)
+    # orientation expansion averages ~1.1 angles/keypoint; 1.5x headroom
+    cap_desc = cap_kp + cap_kp // 2
 
     dog = sk.dog_stack(octave)
     mask = sk.extrema_mask(dog, cfg.peak_thresh)

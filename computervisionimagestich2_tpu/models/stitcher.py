@@ -22,7 +22,7 @@ faithfully.
 """
 from __future__ import annotations
 
-import time
+
 from collections import deque
 from typing import Sequence
 
@@ -34,12 +34,14 @@ from ..config import DEFAULT_CONFIG, StitchConfig
 from ..core.types import Features, MatchPairs
 from ..ops.color import to_gray
 from ..ops.warp import cylindrical_project, trunc_u8, warp_xy
+from ..utils import artifacts, obs
 from ..utils.io import load_image, save_image
 from . import compose
 from .blender import blend_two_images
 from .equalization import equalize_and_mix
 from .matcher import match_features
 from .ransac import ransac_warp
+from .registration import all_pairs_match_counts, register_edge
 from .sift import sift_extract
 
 
@@ -64,15 +66,39 @@ class Stitcher:
     """Panorama stitcher with the reference's semantics and a TPU-native
     execution plan."""
 
-    def __init__(self, config: StitchConfig = DEFAULT_CONFIG):
+    def __init__(self, config: StitchConfig = DEFAULT_CONFIG,
+                 artifact_dir: str | None = None):
         self.config = config
-        self.stage_times: dict[str, float] = {}
+        self._timer = obs.StageTimer()
+        self.artifact_dir = artifact_dir
+
+    @property
+    def stage_times(self) -> dict[str, float]:
+        return self._timer.times
 
     # ------------------------------------------------------------- features
     def prepare(self, images: Sequence[np.ndarray]):
         """Project + SIFT for each input image (readFile,
-        ImageProcess.cpp:11-24). Returns (projected f32 arrays, Features)."""
+        ImageProcess.cpp:11-24). Returns (projected f32 arrays, Features).
+
+        Uniform-shape batches run as ONE vmapped device program — the true
+        parallelism the reference's create-then-join threads only attempted
+        (src/ex6/ImageProcess.cpp:44-50)."""
         cfg = self.config
+        shapes = {np.asarray(img).shape for img in images}
+        if len(shapes) == 1:
+            from ..parallel.batched import batched_project_and_extract
+
+            batch = jnp.asarray(np.stack([np.asarray(i) for i in images]),
+                                jnp.float32)
+            feats_stacked, proj_stacked = batched_project_and_extract(
+                batch, cfg)
+            self._feats_stacked = feats_stacked
+            feats = [jax.tree.map(lambda x, i=i: x[i], feats_stacked)
+                     for i in range(len(images))]
+            projected = [proj_stacked[i] for i in range(len(images))]
+            return projected, feats
+        self._feats_stacked = None
         projected, feats = [], []
         for img in images:
             img_f = jnp.asarray(np.asarray(img), jnp.float32)
@@ -86,10 +112,19 @@ class Stitcher:
     def _match_graph(self, feats) -> list[list[int]]:
         """All-pairs stitchability (ImageProcess.cpp:101-137): edge (i, j)
         iff match count >= THRESHOLD. Counts use getImgPair(i, j) for i < j
-        (the reference's stichingMat[j][i] shortcut makes edges symmetric)."""
+        (the reference's stichingMat[j][i] shortcut makes edges symmetric).
+        All pair counts run as one device program + one readback."""
         n = len(feats)
         cfg = self.config.match
         adj = [[False] * n for _ in range(n)]
+        if getattr(self, "_feats_stacked", None) is not None:
+            counts = np.asarray(all_pairs_match_counts(
+                self._feats_stacked.desc, self._feats_stacked.valid,
+                self.config))
+            for i in range(n):
+                for j in range(i + 1, n):
+                    adj[i][j] = adj[j][i] = counts[i][j] >= cfg.pair_threshold
+            return adj
         for i in range(n):
             for j in range(i + 1, n):
                 pairs = match_features(feats[i], feats[j],
@@ -135,33 +170,22 @@ class Stitcher:
         """One stitch step (ImageProcess.cpp:176-233). Returns
         (new_result, new_pre_index)."""
         cfg = self.config
-        mcfg = cfg.match
 
-        s2d = match_features(feats[src_i], feats[dst_i], mcfg.ratio_threshold,
-                             mcfg.distance, mcfg.max_matches)
-        d2s = match_features(feats[dst_i], feats[src_i], mcfg.ratio_threshold,
-                             mcfg.distance, mcfg.max_matches)
-        n_s2d = int(np.asarray(s2d.count()))
-        n_d2s = int(np.asarray(d2s.count()))
-        # keep the direction with more matches (ImageProcess.cpp:185-198)
-        if n_s2d > n_d2s:
-            d2s = s2d.swapped()
-        else:
-            s2d = d2s.swapped()
-
-        key = jax.random.PRNGKey(cfg.ransac.seed)
-        forward, _, _ = ransac_warp(d2s, key, cfg.ransac.n_hypotheses,
-                                    cfg.ransac.threshold, cfg.ransac.n_sample)
-        backward, _, _ = ransac_warp(s2d, key, cfg.ransac.n_hypotheses,
-                                     cfg.ransac.threshold, cfg.ransac.n_sample)
-
-        fwd_host = np.asarray(forward)
+        # one fused device program (matching x2 + swap + RANSAC x2), one
+        # 16-float readback — host<->device sync dominates on tunneled TPUs
+        forward, backward, _ = register_edge(feats[src_i], feats[dst_i], cfg)
+        both = np.asarray(jnp.stack([forward, backward]))
+        fwd_host = both[0]
         src_shape = projected[dst_i].shape[:2]
         new_h, new_w, min_x, min_y = compose.canvas_plan(
             fwd_host, src_shape, result.shape[:2])
 
         a, b = compose.composite(projected[dst_i], result, backward,
                                  min_x, min_y, (new_h, new_w))
+        if cfg.blend.gain_compensation:
+            from .gain import gain_compensate
+
+            a = gain_compensate(a, b)
 
         feats[dst_i] = _update_features_by_warp(
             feats[dst_i], forward, jnp.float32(min_x), jnp.float32(min_y))
@@ -177,44 +201,53 @@ class Stitcher:
         """Full pipeline (ImageProcess ctor + matching). Returns the final
         u8 RGB panorama."""
         cfg = self.config
-        t0 = time.perf_counter()
-        projected, feats = self.prepare(images)
-        jax.block_until_ready(feats)
-        self.stage_times["features"] = time.perf_counter() - t0
+        with self._timer.stage("features"), obs.trace("features"):
+            projected, feats = self.prepare(images)
+            jax.block_until_ready(feats)
+        if self.artifact_dir:
+            artifacts.save_features(
+                f"{self.artifact_dir}/features.npz", feats)
 
-        t0 = time.perf_counter()
-        n = len(images)
-        if cfg.ordering == "chain":
-            adj = self._chain_adjacency(n)
-            start = n // 2  # src/ex6/ImageProcess.cpp:163
-        else:
-            adj = self._match_graph(feats)
-            start = self._middle_index(adj)
-        self.stage_times["ordering"] = time.perf_counter() - t0
+        with self._timer.stage("ordering"):
+            n = len(images)
+            if cfg.ordering == "chain":
+                adj = self._chain_adjacency(n)
+                start = n // 2  # src/ex6/ImageProcess.cpp:163
+            else:
+                adj = self._match_graph(feats)
+                start = self._middle_index(adj)
+            obs.log("ordering", start=start,
+                    edges=sum(map(sum, adj)) // 2)
 
         # BFS stitch loop (ImageProcess.cpp:149-236)
-        t0 = time.perf_counter()
-        neighbors = [[j for j in range(n) if adj[i][j]] for i in range(n)]
-        result = projected[start]
-        pre = start
-        queue = deque([start])
-        while queue:
-            src_i = queue.popleft()
-            for dst_i in reversed(neighbors[src_i]):
-                if not adj[src_i][dst_i]:
-                    continue
-                adj[src_i][dst_i] = adj[dst_i][src_i] = False
-                queue.append(dst_i)
-                result, pre = self._stitch_edge(result, feats, projected,
-                                                src_i, dst_i, pre)
-        jax.block_until_ready(result)
-        self.stage_times["stitching"] = time.perf_counter() - t0
+        with self._timer.stage("stitching"), obs.trace("stitching"):
+            neighbors = [[j for j in range(n) if adj[i][j]] for i in range(n)]
+            result = projected[start]
+            pre = start
+            queue = deque([start])
+            edge_models = []
+            while queue:
+                src_i = queue.popleft()
+                for dst_i in reversed(neighbors[src_i]):
+                    if not adj[src_i][dst_i]:
+                        continue
+                    adj[src_i][dst_i] = adj[dst_i][src_i] = False
+                    queue.append(dst_i)
+                    result, pre = self._stitch_edge(result, feats, projected,
+                                                    src_i, dst_i, pre)
+                    obs.log("edge", src=src_i, dst=dst_i,
+                            canvas=result.shape[:2])
+            jax.block_until_ready(result)
 
-        t0 = time.perf_counter()
-        final = equalize_and_mix(result, cfg.enhance.compat_luma,
-                                 cfg.enhance.mix_weight)
-        final = np.asarray(final).astype(np.uint8)
-        self.stage_times["enhance"] = time.perf_counter() - t0
+        with self._timer.stage("enhance"):
+            final = equalize_and_mix(result, cfg.enhance.compat_luma,
+                                     cfg.enhance.mix_weight)
+            final = np.asarray(final).astype(np.uint8)
+        if self.artifact_dir:
+            artifacts.save_stage(self.artifact_dir, "canvas", canvas=final)
+            artifacts.save_manifest(self.artifact_dir, n_images=n,
+                                    ordering=cfg.ordering,
+                                    canvas_hw=list(final.shape[:2]))
         return final
 
 

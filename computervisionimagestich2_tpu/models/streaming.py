@@ -1,0 +1,112 @@
+"""Streaming panorama: incremental registration + rolling canvas update.
+
+BASELINE.json config 5 (a capability beyond the reference, which is strictly
+batch): frames arrive one at a time (e.g. 30 fps video), each is registered
+against the features of the previous frame (already in canvas coordinates),
+composited, and blended into a rolling canvas.
+
+TPU-native specifics:
+- Canvas sizes are rounded up to ``bucket``-pixel multiples so XLA compiles
+  a handful of canvas shapes instead of one per frame (the answer to the
+  reference's unbounded canvas growth, SURVEY.md §5).
+- When the canvas exceeds ``max_width`` the oldest columns are dropped and
+  feature coordinates shifted — a rolling window with O(1) memory.
+- Per frame: one fused registration program + one 16-float readback, then
+  composite+blend on device. The frame cadence is bounded by SIFT + one
+  RPC round trip.
+"""
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import DEFAULT_CONFIG, StitchConfig
+from ..ops.color import to_gray
+from ..ops.warp import cylindrical_project, trunc_u8
+from ..utils import obs
+from . import compose
+from .blender import blend_two_images
+from .registration import register_edge
+from .sift import sift_extract
+from .stitcher import _update_features_by_offset, _update_features_by_warp
+
+
+def _bucket(v: int, bucket: int) -> int:
+    return int(math.ceil(v / bucket) * bucket)
+
+
+class StreamingStitcher:
+    """Incremental panorama builder.
+
+    Usage::
+
+        ss = StreamingStitcher(max_width=4096)
+        for frame in frames:
+            ss.push(frame)            # RGB uint8 [H, W, 3]
+        pano = ss.canvas()            # RGB uint8
+    """
+
+    def __init__(self, config: StitchConfig = DEFAULT_CONFIG,
+                 max_width: int | None = None, project: bool = True):
+        self.config = config
+        self.max_width = max_width
+        self.project = project
+        self._result = None           # device [H, W, 3] float32
+        self._feats = None            # Features in canvas coords
+        self._n_frames = 0
+
+    def _prepare(self, frame: np.ndarray):
+        img = jnp.asarray(np.asarray(frame), jnp.float32)
+        if self.project:
+            img = cylindrical_project(img, self.config.projection.angle_deg)
+        feats = sift_extract(to_gray(img), self.config.sift)
+        return img, feats
+
+    def push(self, frame: np.ndarray) -> tuple[int, int]:
+        """Ingest one frame; returns the current canvas (h, w)."""
+        cfg = self.config
+        img, feats = self._prepare(frame)
+        if self._result is None:
+            self._result = img
+            self._feats = feats
+            self._n_frames = 1
+            return tuple(self._result.shape[:2])
+
+        forward, backward, n_matches = register_edge(self._feats, feats, cfg)
+        both = np.asarray(jnp.stack([forward, backward]))
+
+        new_h, new_w, min_x, min_y = compose.canvas_plan(
+            both[0], img.shape[:2], self._result.shape[:2])
+        # bucket the canvas to bound recompilation
+        new_h = _bucket(new_h, cfg.canvas_bucket)
+        new_w = _bucket(new_w, cfg.canvas_bucket)
+
+        a, b = compose.composite(img, self._result, backward,
+                                 min_x, min_y, (new_h, new_w))
+        blended = blend_two_images(a, b, cfg.blend.level_mode,
+                                   cfg.blend.blur_sigma)
+        self._result = trunc_u8(blended)
+
+        # the new frame's features become the registration anchor
+        self._feats = _update_features_by_warp(
+            feats, jnp.asarray(both[0]), jnp.float32(min_x),
+            jnp.float32(min_y))
+        self._n_frames += 1
+
+        if self.max_width and self._result.shape[1] > self.max_width:
+            drop = self._result.shape[1] - self.max_width
+            self._result = self._result[:, drop:]
+            self._feats = _update_features_by_offset(
+                self._feats, jnp.float32(drop), jnp.float32(0))
+        obs.log("stream", frame=self._n_frames,
+                canvas=tuple(self._result.shape[:2]),
+                matches=int(np.asarray(n_matches)))
+        return tuple(self._result.shape[:2])
+
+    def canvas(self) -> np.ndarray:
+        if self._result is None:
+            raise ValueError("no frames pushed")
+        return np.asarray(self._result).astype(np.uint8)

@@ -91,16 +91,28 @@ def _gather333(dog: jnp.ndarray, s: jnp.ndarray, y: jnp.ndarray, x: jnp.ndarray)
 
 
 def _solve3_gauss(a_mat: jnp.ndarray, b_vec: jnp.ndarray):
-    """3x3 Gauss elimination with max-pivot and the reference's singular
-    fallback b=0 (sift.c:668-727). Uses closed-form solve + det guard:
-    the reference bails to b=0 when a pivot magnitude < 1e-10; we use the
-    determinant as the guard (equivalent up to conditioning; acceptance
-    gates |b|<1.5 filter the same points)."""
-    det = jnp.linalg.det(a_mat)
+    """3x3 solve via the closed-form adjugate (Cramer) with the reference's
+    singular fallback b=0 (sift.c:668-727; there a max-pivot Gauss
+    elimination bails when a pivot < 1e-10 — the determinant guard is the
+    vectorized equivalent, and the |b|<1.5 acceptance gates filter the same
+    borderline points). Closed form keeps the per-candidate solve a handful
+    of VPU flops instead of a batched LU."""
+    a, b, c = a_mat[0, 0], a_mat[0, 1], a_mat[0, 2]
+    d, e, f = a_mat[1, 0], a_mat[1, 1], a_mat[1, 2]
+    g, h, i = a_mat[2, 0], a_mat[2, 1], a_mat[2, 2]
+    co_a = e * i - f * h
+    co_b = f * g - d * i
+    co_c = d * h - e * g
+    det = a * co_a + b * co_b + c * co_c
     safe = jnp.abs(det) > 1e-18
-    a_safe = jnp.where(safe, a_mat, jnp.eye(3, dtype=a_mat.dtype))
-    sol = jnp.linalg.solve(a_safe, b_vec)
-    return jnp.where(safe, sol, jnp.zeros_like(b_vec))
+    inv_det = jnp.where(safe, 1.0 / jnp.where(safe, det, 1.0), 0.0)
+    x0 = (co_a * b_vec[0] + (c * h - b * i) * b_vec[1]
+          + (b * f - c * e) * b_vec[2]) * inv_det
+    x1 = (co_b * b_vec[0] + (a * i - c * g) * b_vec[1]
+          + (c * d - a * f) * b_vec[2]) * inv_det
+    x2 = (co_c * b_vec[0] + (b * g - a * h) * b_vec[1]
+          + (a * e - b * d) * b_vec[2]) * inv_det
+    return jnp.stack([x0, x1, x2])
 
 
 def _refine_one(dog: jnp.ndarray, s0: jnp.ndarray, y0: jnp.ndarray,

@@ -46,6 +46,38 @@ def _denormalize(coeffs_n: jnp.ndarray, cx, cy, s) -> jnp.ndarray:
     return jnp.stack([w_x, w_y, w_xy, w_1], axis=-1)
 
 
+def _solve4_spd(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Unrolled 4x4 Cholesky solve for the SPD normal-equation systems.
+
+    A handful of scalar VPU flops per system — vmaps over thousands of
+    RANSAC hypotheses without falling back to a batched LU. a: [4, 4] SPD,
+    b: [4, K]. Returns x with a @ x = b.
+    """
+    eps = 1e-30
+    l11 = jnp.sqrt(jnp.maximum(a[0, 0], eps))
+    l21 = a[1, 0] / l11
+    l31 = a[2, 0] / l11
+    l41 = a[3, 0] / l11
+    l22 = jnp.sqrt(jnp.maximum(a[1, 1] - l21 * l21, eps))
+    l32 = (a[2, 1] - l31 * l21) / l22
+    l42 = (a[3, 1] - l41 * l21) / l22
+    l33 = jnp.sqrt(jnp.maximum(a[2, 2] - l31 * l31 - l32 * l32, eps))
+    l43 = (a[3, 2] - l41 * l31 - l42 * l32) / l33
+    l44 = jnp.sqrt(jnp.maximum(
+        a[3, 3] - l41 * l41 - l42 * l42 - l43 * l43, eps))
+    # forward substitution L y = b
+    y1 = b[0] / l11
+    y2 = (b[1] - l21 * y1) / l22
+    y3 = (b[2] - l31 * y1 - l32 * y2) / l33
+    y4 = (b[3] - l41 * y1 - l42 * y2 - l43 * y3) / l44
+    # back substitution L^T x = y
+    x4 = y4 / l44
+    x3 = (y3 - l43 * x4) / l33
+    x2 = (y2 - l32 * x3 - l42 * x4) / l22
+    x1 = (y1 - l21 * x2 - l31 * x3 - l41 * x4) / l11
+    return jnp.stack([x1, x2, x3, x4])
+
+
 def solve_warp(src_xy: jnp.ndarray, dst_xy: jnp.ndarray,
                weights: jnp.ndarray | None = None) -> jnp.ndarray:
     """Fit the 8-coefficient bilinear warp mapping src -> dst.
@@ -77,7 +109,7 @@ def solve_warp(src_xy: jnp.ndarray, dst_xy: jnp.ndarray,
     # RANSAC scoring discards them, mirroring the reference where CImg's
     # solver returns garbage for singular systems.
     ata = ata + 1e-6 * jnp.eye(4, dtype=ata.dtype)
-    coeffs_n = jnp.linalg.solve(ata, atb).T            # [2, 4]
+    coeffs_n = _solve4_spd(ata, atb).T                 # [2, 4]
     coeffs = _denormalize(coeffs_n, cx, cy, s)         # [2, 4]
     return coeffs.reshape(8)
 
