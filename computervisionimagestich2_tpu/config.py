@@ -34,7 +34,7 @@ class SiftConfig:
     # Static capacity knobs (TPU-native: dense masks instead of realloc,
     # replacing the dynamic keys buffer at vl/sift.c:580-590).
     max_keypoints_per_octave: int = 2048
-    max_keypoints: int = 4096     # total after orientation expansion
+    max_keypoints: int = 2048     # total after orientation expansion
 
     @property
     def sigma_k(self) -> float:

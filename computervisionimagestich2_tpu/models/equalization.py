@@ -25,10 +25,13 @@ from ..ops.warp import trunc_u8
 
 def _equalize_lut(channel_u8: jnp.ndarray) -> jnp.ndarray:
     """LUT from a u8 channel: mapped[i] = round(255 * cdf[i])
-    (equalization.cpp:57-65)."""
+    (equalization.cpp:57-65). The histogram is a compare+reduce (VPU tiles
+    it as one fused loop) — scatter-add is slow on TPU."""
     n = channel_u8.size
-    hist = jnp.zeros(256, jnp.float32).at[
-        channel_u8.astype(jnp.int32).reshape(-1)].add(1.0)
+    vals = channel_u8.astype(jnp.int32).reshape(-1)
+    bins = jnp.arange(256, dtype=jnp.int32)
+    hist = jnp.sum((vals[:, None] == bins[None, :]).astype(jnp.float32),
+                   axis=0)
     cdf = jnp.cumsum(hist / n)
     return jnp.round(255.0 * cdf)
 

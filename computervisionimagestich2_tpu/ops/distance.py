@@ -49,7 +49,17 @@ def two_nearest(qry: jnp.ndarray, ref: jnp.ndarray,
     Returns (d1, d2, i1): nearest distance, second distance, nearest index —
     the inputs of the Lowe ratio test (ImageProcess.cpp:327-331). Invalid
     references never win; invalid queries get d1=d2=BIG.
+
+    On TPU with 128-aligned shapes this dispatches to the Pallas kernel
+    (ops.pallas_distance), which keeps the distance block in VMEM and fuses
+    the top-2; otherwise the XLA path below runs.
     """
+    if (distance == "l1" and jax.default_backend() == "tpu"
+            and qry.shape[0] % 128 == 0 and ref.shape[0] % 128 == 0
+            and qry.shape[1] == 128):
+        from .pallas_distance import two_nearest_l1_pallas
+
+        return two_nearest_l1_pallas(qry, ref, qry_valid, ref_valid)
     if distance == "l1":
         d = pairwise_l1(qry, ref)
     elif distance == "l2":
@@ -57,11 +67,14 @@ def two_nearest(qry: jnp.ndarray, ref: jnp.ndarray,
     else:
         raise ValueError(distance)
     d = jnp.where(ref_valid[None, :], d, BIG)
-    neg_top2, idx = jax.lax.top_k(-d, 2)
-    d1, d2 = -neg_top2[:, 0], -neg_top2[:, 1]
+    # two min-reductions instead of top_k (top_k sorts; 2 passes are cheaper)
+    i1 = jnp.argmin(d, axis=1)
+    d1 = jnp.take_along_axis(d, i1[:, None], axis=1)[:, 0]
+    cols = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+    d2 = jnp.min(jnp.where(cols == i1[:, None], BIG, d), axis=1)
     d1 = jnp.where(qry_valid, d1, BIG)
     d2 = jnp.where(qry_valid, d2, BIG)
-    return d1, d2, idx[:, 0]
+    return d1, d2, i1
 
 
 @partial(jax.jit, static_argnames=("distance",))

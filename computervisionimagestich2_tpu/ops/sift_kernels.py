@@ -85,9 +85,9 @@ def compact_mask(mask: jnp.ndarray, capacity: int):
     return coords.astype(jnp.int32), valid
 
 
-def _gather333(dog: jnp.ndarray, s: jnp.ndarray, y: jnp.ndarray, x: jnp.ndarray):
-    """3x3x3 neighborhood of dog at (s, y, x) -> [3,3,3] (ds, dy, dx)."""
-    return jax.lax.dynamic_slice(dog, (s - 1, y - 1, x - 1), (3, 3, 3))
+def _shift2(a: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
+    """a[(s), y+dy, x+dx] with zero fill — valid for interior use only."""
+    return jnp.roll(a, shift=(-dy, -dx), axis=(-2, -1))
 
 
 def _solve3_gauss(a_mat: jnp.ndarray, b_vec: jnp.ndarray):
@@ -115,70 +115,76 @@ def _solve3_gauss(a_mat: jnp.ndarray, b_vec: jnp.ndarray):
     return jnp.stack([x0, x1, x2])
 
 
-def _refine_one(dog: jnp.ndarray, s0: jnp.ndarray, y0: jnp.ndarray,
-                x0: jnp.ndarray, w: int, h: int,
-                peak_thresh: float, edge_thresh: float,
-                s_min: int, s_max: int, xper: float, sigma0: float,
-                n_levels: int):
-    """Refine one candidate (sift.c:612-757). s0 is the dog-stack index
-    (= s - s_min). Returns (ok, x, y, sigma, is_level, xn, yn)."""
+def _refine_fields(dog: jnp.ndarray, w: int, h: int, peak_thresh: float,
+                   edge_thresh: float, s_min: int, s_max: int, xper: float,
+                   sigma0: float, n_levels: int):
+    """Dense refinement fields over the whole DoG volume.
 
-    def body(_, carry):
-        x, y = carry
-        n = _gather333(dog, s0, y, x)
-        dx_ = 0.5 * (n[1, 1, 2] - n[1, 1, 0])
-        dy_ = 0.5 * (n[1, 2, 1] - n[1, 0, 1])
-        ds_ = 0.5 * (n[2, 1, 1] - n[0, 1, 1])
-        dxx = n[1, 1, 2] + n[1, 1, 0] - 2 * n[1, 1, 1]
-        dyy = n[1, 2, 1] + n[1, 0, 1] - 2 * n[1, 1, 1]
-        dss = n[2, 1, 1] + n[0, 1, 1] - 2 * n[1, 1, 1]
-        dxy = 0.25 * (n[1, 2, 2] + n[1, 0, 0] - n[1, 2, 0] - n[1, 0, 2])
-        dxs = 0.25 * (n[2, 1, 2] + n[0, 1, 0] - n[0, 1, 2] - n[2, 1, 0])
-        dys = 0.25 * (n[2, 2, 1] + n[0, 0, 1] - n[0, 2, 1] - n[2, 0, 1])
-        a_mat = jnp.array([[dxx, dxy, dxs],
-                           [dxy, dyy, dys],
-                           [dxs, dys, dss]])
-        b = _solve3_gauss(a_mat, jnp.array([-dx_, -dy_, -ds_]))
-        step_x = jnp.where((b[0] > 0.6) & (x < w - 2), 1, 0) \
-            + jnp.where((b[0] < -0.6) & (x > 1), -1, 0)
-        step_y = jnp.where((b[1] > 0.6) & (y < h - 2), 1, 0) \
-            + jnp.where((b[1] < -0.6) & (y > 1), -1, 0)
-        return x + step_x, y + step_y
+    TPU re-design of the per-keypoint Newton solve (sift.c:612-757): the
+    gradient/Hessian stencils, the 3x3 solve, the +-1 relocation decision,
+    and all acceptance quantities are computed *densely* as VPU stencil math
+    (a few hundred flops/pixel — cheaper than per-candidate gathers of 27
+    neighbors). The per-candidate loop then only chases positions through
+    the precomputed step fields. Values on the 1-pixel border and the outer
+    s slices are garbage but unreachable (candidates are interior and steps
+    are bounds-clamped, mirroring sift.c:733-739).
+    """
+    c = dog
+    xp1, xm1 = _shift2(c, 0, 1), _shift2(c, 0, -1)
+    yp1, ym1 = _shift2(c, 1, 0), _shift2(c, -1, 0)
+    sp1, sm1 = jnp.roll(c, -1, axis=0), jnp.roll(c, 1, axis=0)
 
-    # 5 iterations; once converged the recomputation is a fixed point, so
-    # running all 5 matches the reference's early break.
-    x, y = jax.lax.fori_loop(0, 5, body, (x0, y0))
+    dx_ = 0.5 * (xp1 - xm1)
+    dy_ = 0.5 * (yp1 - ym1)
+    ds_ = 0.5 * (sp1 - sm1)
+    dxx = xp1 + xm1 - 2 * c
+    dyy = yp1 + ym1 - 2 * c
+    dss = sp1 + sm1 - 2 * c
+    dxy = 0.25 * (_shift2(c, 1, 1) + _shift2(c, -1, -1)
+                  - _shift2(c, 1, -1) - _shift2(c, -1, 1))
+    dxs = 0.25 * (jnp.roll(xp1, -1, 0) + jnp.roll(xm1, 1, 0)
+                  - jnp.roll(xm1, -1, 0) - jnp.roll(xp1, 1, 0))
+    dys = 0.25 * (jnp.roll(yp1, -1, 0) + jnp.roll(ym1, 1, 0)
+                  - jnp.roll(ym1, -1, 0) - jnp.roll(yp1, 1, 0))
 
-    n = _gather333(dog, s0, y, x)
-    dx_ = 0.5 * (n[1, 1, 2] - n[1, 1, 0])
-    dy_ = 0.5 * (n[1, 2, 1] - n[1, 0, 1])
-    ds_ = 0.5 * (n[2, 1, 1] - n[0, 1, 1])
-    dxx = n[1, 1, 2] + n[1, 1, 0] - 2 * n[1, 1, 1]
-    dyy = n[1, 2, 1] + n[1, 0, 1] - 2 * n[1, 1, 1]
-    dss = n[2, 1, 1] + n[0, 1, 1] - 2 * n[1, 1, 1]
-    dxy = 0.25 * (n[1, 2, 2] + n[1, 0, 0] - n[1, 2, 0] - n[1, 0, 2])
-    dxs = 0.25 * (n[2, 1, 2] + n[0, 1, 0] - n[0, 1, 2] - n[2, 1, 0])
-    dys = 0.25 * (n[2, 2, 1] + n[0, 0, 1] - n[0, 2, 1] - n[2, 0, 1])
-    a_mat = jnp.array([[dxx, dxy, dxs],
-                       [dxy, dyy, dys],
-                       [dxs, dys, dss]])
-    b = _solve3_gauss(a_mat, jnp.array([-dx_, -dy_, -ds_]))
+    # dense 3x3 adjugate solve: A b = -[dx, dy, ds]
+    co_a = dyy * dss - dys * dys
+    co_b = dys * dxs - dxy * dss
+    co_c = dxy * dys - dyy * dxs
+    det = dxx * co_a + dxy * co_b + dxs * co_c
+    safe = jnp.abs(det) > 1e-18
+    inv_det = jnp.where(safe, 1.0 / jnp.where(safe, det, 1.0), 0.0)
+    r0, r1, r2 = -dx_, -dy_, -ds_
+    b0 = (co_a * r0 + (dxs * dys - dxy * dss) * r1
+          + (dxy * dys - dxs * dyy) * r2) * inv_det
+    b1 = (co_b * r0 + (dxx * dss - dxs * dxs) * r1
+          + (dxs * dxy - dxx * dys) * r2) * inv_det
+    b2 = (co_c * r0 + (dxy * dxs - dxx * dys) * r1
+          + (dxx * dyy - dxy * dxy) * r2) * inv_det
 
-    s = s0 + s_min  # actual scale level of this dog slice center
-    val = n[1, 1, 1] + 0.5 * (dx_ * b[0] + dy_ * b[1] + ds_ * b[2])
-    score_den = dxx * dyy - dxy * dxy
-    score = (dxx + dyy) * (dxx + dyy) / jnp.where(score_den == 0, 1e-30, score_den)
-    xn = x.astype(jnp.float32) + b[0]
-    yn = y.astype(jnp.float32) + b[1]
-    sn = s.astype(jnp.float32) + b[2]
+    n_s = c.shape[0]
+    ys = jax.lax.broadcasted_iota(jnp.int32, c.shape, 1)
+    xs = jax.lax.broadcasted_iota(jnp.int32, c.shape, 2)
+    ss = jax.lax.broadcasted_iota(jnp.int32, c.shape, 0)
+    step_x = (jnp.where((b0 > 0.6) & (xs < w - 2), 1, 0)
+              + jnp.where((b0 < -0.6) & (xs > 1), -1, 0)).astype(jnp.int32)
+    step_y = (jnp.where((b1 > 0.6) & (ys < h - 2), 1, 0)
+              + jnp.where((b1 < -0.6) & (ys > 1), -1, 0)).astype(jnp.int32)
+
+    val = c + 0.5 * (dx_ * b0 + dy_ * b1 + ds_ * b2)
+    den = dxx * dyy - dxy * dxy
+    score = (dxx + dyy) ** 2 / jnp.where(den == 0, 1e-30, den)
+    xn = xs.astype(jnp.float32) + b0
+    yn = ys.astype(jnp.float32) + b1
+    sn = (ss + s_min).astype(jnp.float32) + b2
     te = edge_thresh
     ok = (jnp.abs(val) > peak_thresh) \
         & (score < (te + 1.0) * (te + 1.0) / te) & (score >= 0) \
-        & (jnp.abs(b[0]) < 1.5) & (jnp.abs(b[1]) < 1.5) & (jnp.abs(b[2]) < 1.5) \
+        & (jnp.abs(b0) < 1.5) & (jnp.abs(b1) < 1.5) & (jnp.abs(b2) < 1.5) \
         & (xn >= 0) & (xn <= w - 1) & (yn >= 0) & (yn <= h - 1) \
         & (sn >= s_min) & (sn <= s_max)
     sigma = sigma0 * 2.0 ** (sn / n_levels) * xper
-    return ok, xn * xper, yn * xper, sigma, s
+    return step_x, step_y, ok, xn * xper, yn * xper, sigma
 
 
 @partial(jax.jit, static_argnames=("w", "h", "peak_thresh", "edge_thresh",
@@ -188,16 +194,37 @@ def refine_keypoints(dog: jnp.ndarray, coords: jnp.ndarray, valid: jnp.ndarray,
                      w: int, h: int, peak_thresh: float, edge_thresh: float,
                      s_min: int, s_max: int, xper: float, sigma0: float,
                      n_levels: int):
-    """Vmapped refinement. coords: [N, 3] (mask-slice s, y, x) from
+    """Candidate refinement. coords: [N, 3] (mask-slice s, y, x) from
     compact_mask over extrema_mask output; mask slice s corresponds to dog
     level s+1. Returns (ok, x, y, sigma, is_level) arrays of length N,
-    where x/y/sigma are in input-image units (xper-scaled)."""
+    where x/y/sigma are in input-image units (xper-scaled).
+
+    Dense fields + 5-step position chase; the chase reaches the same fixed
+    point as the reference's early-break loop (re-solving at an unmoved
+    position is idempotent)."""
+    step_x, step_y, okf, xf, yf, sigmaf = _refine_fields(
+        dog, w, h, peak_thresh, edge_thresh, s_min, s_max, xper, sigma0,
+        n_levels)
+    n_s, hh, ww = dog.shape
+    sx_flat = step_x.reshape(-1)
+    sy_flat = step_y.reshape(-1)
+
     s_dog = coords[:, 0] + 1
-    fn = jax.vmap(lambda s, y, x: _refine_one(
-        dog, s, y, x, w, h, peak_thresh, edge_thresh, s_min, s_max,
-        xper, sigma0, n_levels))
-    ok, x, y, sigma, lvl = fn(s_dog, coords[:, 1], coords[:, 2])
-    return ok & valid, x, y, sigma, lvl
+    y = coords[:, 1]
+    x = coords[:, 2]
+    base = s_dog * (hh * ww)
+
+    def chase(_, carry):
+        x, y = carry
+        flat = base + y * ww + x
+        return x + sx_flat[flat], y + sy_flat[flat]
+
+    x, y = jax.lax.fori_loop(0, 5, chase, (x, y))
+    flat = base + y * ww + x
+    ok = okf.reshape(-1)[flat] & valid
+    lvl = (s_dog + s_min).astype(jnp.int32)
+    return ok, xf.reshape(-1)[flat], yf.reshape(-1)[flat], \
+        sigmaf.reshape(-1)[flat], lvl
 
 
 # ------------------------------------------------------------------ gradient
@@ -224,10 +251,15 @@ def polar_gradient(levels: jnp.ndarray) -> jnp.ndarray:
 
 
 # --------------------------------------------------------------- orientation
-def ori_patch_radius(sigma0: float, n_levels: int, s_max: int) -> int:
+def ori_patch_radius(sigma0: float, n_levels: int, s_max: int,
+                     is_level: int | None = None) -> int:
     """Static upper bound for the orientation window radius W =
-    floor(3 * 1.5 * sigma) (sift.c:934): sn < min(s_max, (s_max-2)+1.5)."""
-    sn_max = min(float(s_max), (s_max - 2) + 1.5)
+    floor(3 * 1.5 * sigma) (sift.c:934). A keypoint at integer level
+    ``is`` has sn < is + 1.5 (|b_s| < 1.5 acceptance), so per-level batches
+    get tighter windows; None = octave-wide worst case
+    sn < min(s_max, (s_max-2)+1.5)."""
+    top = (s_max - 2) if is_level is None else is_level
+    sn_max = min(float(s_max), top + 1.5)
     sigma_max = sigma0 * 2.0 ** (sn_max / n_levels)
     return max(int(math.floor(3.0 * 1.5 * sigma_max)), 1)
 
@@ -332,10 +364,13 @@ def orientation_histograms(grad_pad: jnp.ndarray, lvl_idx: jnp.ndarray,
 
 # ---------------------------------------------------------------- descriptor
 def desc_patch_radius(sigma0: float, n_levels: int, s_max: int,
-                      magnif: float = 3.0, nbp: int = 4) -> int:
+                      magnif: float = 3.0, nbp: int = 4,
+                      is_level: int | None = None) -> int:
     """Static bound for the descriptor window radius
-    W = floor(sqrt(2) * SBP * (NBP+1)/2 + 0.5) (sift.c:1310-1311)."""
-    sn_max = min(float(s_max), (s_max - 2) + 1.5)
+    W = floor(sqrt(2) * SBP * (NBP+1)/2 + 0.5) (sift.c:1310-1311); see
+    ori_patch_radius for the per-level tightening."""
+    top = (s_max - 2) if is_level is None else is_level
+    sn_max = min(float(s_max), top + 1.5)
     sigma_max = sigma0 * 2.0 ** (sn_max / n_levels)
     sbp = magnif * sigma_max
     return int(math.floor(math.sqrt(2.0) * sbp * (nbp + 1) / 2.0 + 0.5))
@@ -416,11 +451,17 @@ def descriptors(grad_pad: jnp.ndarray, lvl_idx: jnp.ndarray, x: jnp.ndarray,
                 y: jnp.ndarray, sigma: jnp.ndarray, angle: jnp.ndarray,
                 valid: jnp.ndarray, w, h, radius: int,
                 magnif: float = 3.0, window_size: float = 2.0,
-                nbp: int = 4, nbo: int = 8, chunk: int = 128):
+                nbp: int = 4, nbo: int = 8, chunk: int | None = None):
     """Batched descriptors. Inputs are flat keypoint-angle lists (octave-local
     x, y, sigma). Processes in chunks to bound the [chunk, P^2, 16]
-    intermediate in HBM. Returns (desc [N, 128], ok [N])."""
+    intermediate in HBM (few, large chunks — sequential lax.map steps cost
+    latency). Returns (desc [N, 128], ok [N])."""
     n = x.shape[0]
+    p = 2 * radius + 1
+    if chunk is None:
+        # target ~256 MB of [chunk, P^2, 16] f32 intermediate
+        chunk = max(128, min(2048, int(2.7e8 / (p * p * 16 * 4))))
+    chunk = min(chunk, max(n, 1))
     n_pad = ((n + chunk - 1) // chunk) * chunk
 
     def pad(a):
