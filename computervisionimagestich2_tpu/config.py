@@ -133,6 +133,10 @@ class StitchConfig:
     projection: ProjectionConfig = dataclasses.field(default_factory=ProjectionConfig)
     blend: BlendConfig = dataclasses.field(default_factory=BlendConfig)
     enhance: EnhanceConfig = dataclasses.field(default_factory=EnhanceConfig)
+    # "bilinear" = the reference's 8-coefficient warp (ImageProcess.h:58-73);
+    # "projective" = true DLT homography (the report describes it,
+    # 16340028.md §DLT; documented 'correct mode', default off for parity).
+    warp_model: str = "bilinear"
     # "graph" = root variant's match-graph discovery over unordered images
     # (ImageProcess.cpp:101-147); "chain" = ex6's pre-ordered left-to-right
     # adjacency (src/ex6/ImageProcess.cpp:150-159).

@@ -22,15 +22,19 @@ import jax.numpy as jnp
 
 from ..config import RansacConfig
 from ..core.types import MatchPairs
-from ..ops.solve import solve_warp
-from ..ops.warp import warp_xy
+from ..ops.solve import solve_projective, solve_warp
+from ..ops.warp import warp_points, warp_xy
 
 
-@partial(jax.jit, static_argnames=("n_hypotheses", "threshold", "n_sample"))
+@partial(jax.jit, static_argnames=("n_hypotheses", "threshold", "n_sample",
+                                   "model"))
 def ransac_warp(pairs: MatchPairs, key: jax.Array,
                 n_hypotheses: int = 128, threshold: float = 4.0,
-                n_sample: int = 4):
-    """Returns (coeffs (8,), inlier_mask [N], n_inliers scalar)."""
+                n_sample: int = 4, model: str = "bilinear"):
+    """Returns (coeffs, inlier_mask [N], n_inliers scalar). ``model`` picks
+    the warp family: 'bilinear' (8 coeffs, reference behavior) or
+    'projective' (9 coeffs, normalized DLT)."""
+    solve_fn = solve_warp if model == "bilinear" else solve_projective
     n_cap = pairs.src_xy.shape[0]
     valid_f = pairs.valid.astype(jnp.float32)
     n_valid = jnp.maximum(jnp.sum(valid_f), 1.0)
@@ -44,14 +48,12 @@ def ransac_warp(pairs: MatchPairs, key: jax.Array,
 
     src_s = pairs.src_xy[sample_idx]                      # [K, 4, 2]
     dst_s = pairs.dst_xy[sample_idx]
-    coeffs_k = jax.vmap(lambda s, d: solve_warp(s, d))(src_s, dst_s)  # [K, 8]
+    coeffs_k = jax.vmap(lambda s, d: solve_fn(s, d))(src_s, dst_s)
 
-    # reprojection of every pair under every hypothesis
-    x = pairs.src_xy[:, 0][None, :]                       # [1, N]
-    y = pairs.src_xy[:, 1][None, :]
-    c = coeffs_k[:, :, None]                              # [K, 8, 1]
-    xw = c[:, 0] * x + c[:, 1] * y + c[:, 2] * x * y + c[:, 3]
-    yw = c[:, 4] * x + c[:, 5] * y + c[:, 6] * x * y + c[:, 7]
+    # reprojection of every pair under every hypothesis: [K, N]
+    x = pairs.src_xy[:, 0]
+    y = pairs.src_xy[:, 1]
+    xw, yw = jax.vmap(lambda c: warp_points(c, x, y, model))(coeffs_k)
     dx = xw - pairs.dst_xy[:, 0][None, :]
     dy = yw - pairs.dst_xy[:, 1][None, :]
     dist = jnp.sqrt(dx * dx + dy * dy)                    # [K, N]
@@ -60,8 +62,8 @@ def ransac_warp(pairs: MatchPairs, key: jax.Array,
 
     best = jnp.argmax(counts)
     best_mask = inliers[best]
-    coeffs = solve_warp(pairs.src_xy, pairs.dst_xy,
-                        best_mask.astype(jnp.float32))
+    coeffs = solve_fn(pairs.src_xy, pairs.dst_xy,
+                      best_mask.astype(jnp.float32))
     return coeffs, best_mask, counts[best]
 
 

@@ -47,9 +47,11 @@ def register_edge(feats_src: Features, feats_dst: Features,
 
     key = jax.random.PRNGKey(cfg.ransac.seed)
     forward, _, _ = ransac_warp(d2s_final, key, cfg.ransac.n_hypotheses,
-                                cfg.ransac.threshold, cfg.ransac.n_sample)
+                                cfg.ransac.threshold, cfg.ransac.n_sample,
+                                cfg.warp_model)
     backward, _, _ = ransac_warp(s2d_final, key, cfg.ransac.n_hypotheses,
-                                 cfg.ransac.threshold, cfg.ransac.n_sample)
+                                 cfg.ransac.threshold, cfg.ransac.n_sample,
+                                 cfg.warp_model)
     return forward, backward, jnp.maximum(n_s2d, n_d2s)
 
 

@@ -33,7 +33,7 @@ import numpy as np
 from ..config import DEFAULT_CONFIG, StitchConfig
 from ..core.types import Features, MatchPairs
 from ..ops.color import to_gray
-from ..ops.warp import cylindrical_project, trunc_u8, warp_xy
+from ..ops.warp import cylindrical_project, trunc_u8, warp_points, warp_xy
 from ..utils import artifacts, obs
 from ..utils.io import load_image, save_image
 from . import compose
@@ -45,11 +45,15 @@ from .registration import all_pairs_match_counts, register_edge
 from .sift import sift_extract
 
 
-@jax.jit
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("model",))
 def _update_features_by_warp(feats: Features, coeffs: jnp.ndarray,
-                             offset_x, offset_y) -> Features:
+                             offset_x, offset_y,
+                             model: str = "bilinear") -> Features:
     """updateFeaturesByHomography (ImageProcess.cpp:622-631)."""
-    xw, yw = warp_xy(coeffs, feats.xy[:, 0], feats.xy[:, 1])
+    xw, yw = warp_points(coeffs, feats.xy[:, 0], feats.xy[:, 1], model)
     xy = jnp.stack([xw - offset_x, yw - offset_y], axis=-1)
     return feats._replace(xy=xy)
 
@@ -178,17 +182,19 @@ class Stitcher:
         fwd_host = both[0]
         src_shape = projected[dst_i].shape[:2]
         new_h, new_w, min_x, min_y = compose.canvas_plan(
-            fwd_host, src_shape, result.shape[:2])
+            fwd_host, src_shape, result.shape[:2], cfg.warp_model)
 
         a, b = compose.composite(projected[dst_i], result, backward,
-                                 min_x, min_y, (new_h, new_w))
+                                 min_x, min_y, (new_h, new_w),
+                                 cfg.warp_model)
         if cfg.blend.gain_compensation:
             from .gain import gain_compensate
 
             a = gain_compensate(a, b)
 
         feats[dst_i] = _update_features_by_warp(
-            feats[dst_i], forward, jnp.float32(min_x), jnp.float32(min_y))
+            feats[dst_i], forward, jnp.float32(min_x), jnp.float32(min_y),
+            cfg.warp_model)
         feats[pre_i] = _update_features_by_offset(
             feats[pre_i], jnp.float32(int(min_x)), jnp.float32(int(min_y)))
 

@@ -79,13 +79,14 @@ class StreamingStitcher:
         both = np.asarray(jnp.stack([forward, backward]))
 
         new_h, new_w, min_x, min_y = compose.canvas_plan(
-            both[0], img.shape[:2], self._result.shape[:2])
+            both[0], img.shape[:2], self._result.shape[:2], cfg.warp_model)
         # bucket the canvas to bound recompilation
         new_h = _bucket(new_h, cfg.canvas_bucket)
         new_w = _bucket(new_w, cfg.canvas_bucket)
 
         a, b = compose.composite(img, self._result, backward,
-                                 min_x, min_y, (new_h, new_w))
+                                 min_x, min_y, (new_h, new_w),
+                                 cfg.warp_model)
         blended = blend_two_images(a, b, cfg.blend.level_mode,
                                    cfg.blend.blur_sigma)
         self._result = trunc_u8(blended)
@@ -93,7 +94,7 @@ class StreamingStitcher:
         # the new frame's features become the registration anchor
         self._feats = _update_features_by_warp(
             feats, jnp.asarray(both[0]), jnp.float32(min_x),
-            jnp.float32(min_y))
+            jnp.float32(min_y), cfg.warp_model)
         self._n_frames += 1
 
         if self.max_width and self._result.shape[1] > self.max_width:

@@ -18,7 +18,9 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-BIG = jnp.float32(3.0e38)
+# python float, not jnp scalar: module import must not initialize a backend
+# (the TPU tunnel is single-client; see .claude/skills/verify/SKILL.md)
+BIG = 3.0e38
 
 
 def pairwise_l1(qry: jnp.ndarray, ref: jnp.ndarray) -> jnp.ndarray:

@@ -115,3 +115,84 @@ def solve_warp(src_xy: jnp.ndarray, dst_xy: jnp.ndarray,
 
 
 solve_warp_batched = jax.vmap(solve_warp, in_axes=(0, 0, None))
+
+
+def _solve_spd(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Unrolled Cholesky solve for small SPD systems (any static n).
+
+    Generated loop is fully unrolled at trace time — vmaps over RANSAC
+    hypotheses as straight-line VPU code (batched LU is slow on TPU).
+    a: [n, n] SPD, b: [n, K].
+    """
+    n = a.shape[0]
+    eps = 1e-30
+    l = [[None] * n for _ in range(n)]
+    for i in range(n):
+        s = a[i, i] - sum((l[i][k] * l[i][k] for k in range(i)), start=jnp.float32(0))
+        l[i][i] = jnp.sqrt(jnp.maximum(s, eps))
+        for j in range(i + 1, n):
+            s = a[j, i] - sum((l[j][k] * l[i][k] for k in range(i)),
+                              start=jnp.float32(0))
+            l[j][i] = s / l[i][i]
+    y = [None] * n
+    for i in range(n):
+        y[i] = (b[i] - sum((l[i][k] * y[k] for k in range(i)),
+                           start=jnp.zeros_like(b[0]))) / l[i][i]
+    x = [None] * n
+    for i in reversed(range(n)):
+        x[i] = (y[i] - sum((l[k][i] * x[k] for k in range(i + 1, n)),
+                           start=jnp.zeros_like(b[0]))) / l[i][i]
+    return jnp.stack(x)
+
+
+def solve_projective(src_xy: jnp.ndarray, dst_xy: jnp.ndarray,
+                     weights: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Fit a projective homography (normalized DLT, inhomogeneous form).
+
+    The reference's report describes DLT (16340028.md §DLT) but its code
+    solves the bilinear model; this is the documented 'correct mode'
+    alternative (SURVEY.md §7 'Reference bugs as behavior').
+
+    Solves the 8-unknown system from x' = (h0 x + h1 y + h2) / (h6 x + h7 y + 1),
+    y' = (h3 x + h4 y + h5) / (h6 x + h7 y + 1) by least squares on the
+    linearized equations, with the same coordinate normalization as
+    solve_warp. Returns (9,) row-major homography with h[8] = 1.
+    """
+    x, y = src_xy[:, 0], src_xy[:, 1]
+    u, v = dst_xy[:, 0], dst_xy[:, 1]
+    if weights is None:
+        weights = jnp.ones_like(x)
+    wsum = jnp.maximum(jnp.sum(weights), 1.0)
+    cx = jnp.sum(weights * x) / wsum
+    cy = jnp.sum(weights * y) / wsum
+    cu = jnp.sum(weights * u) / wsum
+    cv = jnp.sum(weights * v) / wsum
+    s = jnp.maximum(jnp.sum(weights * (jnp.abs(x - cx) + jnp.abs(y - cy)))
+                    / wsum, 1e-3)
+    t = jnp.maximum(jnp.sum(weights * (jnp.abs(u - cu) + jnp.abs(v - cv)))
+                    / wsum, 1e-3)
+    xn, yn = (x - cx) / s, (y - cy) / s
+    un, vn = (u - cu) / t, (v - cv) / t
+
+    zero = jnp.zeros_like(xn)
+    one = jnp.ones_like(xn)
+    # rows: [x y 1 0 0 0 -u*x -u*y] h = u  and  [0 0 0 x y 1 -v*x -v*y] h = v
+    a_u = jnp.stack([xn, yn, one, zero, zero, zero, -un * xn, -un * yn], -1)
+    a_v = jnp.stack([zero, zero, zero, xn, yn, one, -vn * xn, -vn * yn], -1)
+    a_mat = jnp.concatenate([a_u, a_v], axis=0)             # [2N, 8]
+    rhs = jnp.concatenate([un, vn], axis=0)                 # [2N]
+    w2 = jnp.concatenate([weights, weights], axis=0)
+    aw = a_mat * w2[:, None]
+    ata = aw.T @ a_mat + 1e-6 * jnp.eye(8, dtype=a_mat.dtype)
+    atb = aw.T @ rhs
+    hn = _solve_spd(ata, atb[:, None])[:, 0]                # [8]
+
+    # denormalize: H = T_dst^-1 @ Hn @ T_src, with
+    # T_src: p -> (p - c_src)/s, T_dst^-1: q -> q*t + c_dst
+    h_n = jnp.concatenate([hn, jnp.ones(1, hn.dtype)]).reshape(3, 3)
+    t_src = jnp.array([[1 / s, 0, -cx / s], [0, 1 / s, -cy / s], [0, 0, 1]],
+                      dtype=hn.dtype)
+    t_dst_inv = jnp.array([[t, 0, cu], [0, t, cv], [0, 0, 1]], dtype=hn.dtype)
+    h_full = t_dst_inv @ h_n @ t_src
+    h_full = h_full / h_full[2, 2]
+    return h_full.reshape(9)

@@ -133,11 +133,34 @@ def warp_xy(coeffs: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray):
     return xw, yw
 
 
-@partial(jax.jit, static_argnames=("out_shape",))
+def projective_xy(coeffs: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray):
+    """Apply a row-major 3x3 homography stored as a flat (9,) vector — the
+    'correct mode' alternative to the reference's bilinear warp (the report
+    describes DLT, 16340028.md §DLT; the code ships the bilinear model)."""
+    c = coeffs
+    den = c[6] * x + c[7] * y + c[8]
+    den = jnp.where(jnp.abs(den) < 1e-12, 1e-12, den)
+    return ((c[0] * x + c[1] * y + c[2]) / den,
+            (c[3] * x + c[4] * y + c[5]) / den)
+
+
+def warp_points(coeffs: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
+                model: str = "bilinear"):
+    """Model-dispatching point warp: 'bilinear' (8 coeffs, reference
+    behavior) or 'projective' (9 coeffs)."""
+    if model == "bilinear":
+        return warp_xy(coeffs, x, y)
+    if model == "projective":
+        return projective_xy(coeffs, x, y)
+    raise ValueError(model)
+
+
+@partial(jax.jit, static_argnames=("out_shape", "model"))
 def warp_image(src: jnp.ndarray, coeffs: jnp.ndarray,
                offset_x: jnp.ndarray, offset_y: jnp.ndarray,
                out_shape: tuple[int, int] | None = None,
-               out: jnp.ndarray | None = None) -> jnp.ndarray:
+               out: jnp.ndarray | None = None,
+               model: str = "bilinear") -> jnp.ndarray:
     """Inverse-warp src onto a canvas (warpingImageByHomography,
     ImageProcess.cpp:596-606).
 
@@ -157,7 +180,7 @@ def warp_image(src: jnp.ndarray, coeffs: jnp.ndarray,
 
     ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0).astype(jnp.float32)
     xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1).astype(jnp.float32)
-    xw, yw = warp_xy(coeffs, xs + offset_x, ys + offset_y)
+    xw, yw = warp_points(coeffs, xs + offset_x, ys + offset_y, model)
     nx = jnp.trunc(xw).astype(jnp.int32)   # C float->int truncation
     ny = jnp.trunc(yw).astype(jnp.int32)
     valid = (nx >= 0) & (nx < src_w) & (ny >= 0) & (ny < src_h)

@@ -19,6 +19,9 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# NOTE: do not enable the persistent compilation cache here — the XLA:CPU
+# AOT loader flags machine-feature mismatches on this host (+prefer-no-
+# scatter/-gather) and reloaded code can SIGILL.
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
