@@ -145,6 +145,13 @@ class StitchConfig:
     # the TPU-native answer to the reference's unbounded canvas growth
     # (ImageProcess.cpp:215-219).
     canvas_bucket: int = 128
+    # exact_canvas=True (default) composites/blends at the reference's exact
+    # canvas size — one compile per distinct canvas shape (parity mode).
+    # False pads each canvas up to canvas_bucket multiples for the blend and
+    # crops back, so an N-image panorama compiles only a handful of blend
+    # shapes; output differs from exact mode only by pyramid blur bleed near
+    # the padded borders (within blend tolerance).
+    exact_canvas: bool = True
     # Compute dtype for image-space kernels.
     dtype: str = "float32"
 

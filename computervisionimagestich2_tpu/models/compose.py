@@ -20,6 +20,19 @@ import numpy as np
 from ..ops.warp import shift_image, warp_image
 
 
+def bucket_size(v: int, base: int = 128, ratio: float = 1.3) -> int:
+    """Smallest size >= v from a geometric grid (base-aligned).
+
+    Canvas growth per stitch edge is roughly an image width, so linear
+    buckets still produce one compile per edge; a geometric grid bounds the
+    number of distinct blend shapes to O(log canvas/base) for any chain
+    length."""
+    s = base
+    while s < v:
+        s = int(math.ceil(s * ratio / base) * base)
+    return s
+
+
 def warp_corners(coeffs: np.ndarray, w: int, h: int,
                  model: str = "bilinear") -> np.ndarray:
     """Warp the 4 corners (0,0), (w-1,0), (0,h-1), (w-1,h-1). [4, 2]."""

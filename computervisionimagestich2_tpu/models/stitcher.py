@@ -31,16 +31,15 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import DEFAULT_CONFIG, StitchConfig
-from ..core.types import Features, MatchPairs
+from ..core.types import Features
 from ..ops.color import to_gray
-from ..ops.warp import cylindrical_project, trunc_u8, warp_points, warp_xy
+from ..ops.warp import cylindrical_project, trunc_u8, warp_points
 from ..utils import artifacts, obs
 from ..utils.io import load_image, save_image
 from . import compose
 from .blender import blend_two_images
 from .equalization import equalize_and_mix
 from .matcher import match_features
-from .ransac import ransac_warp
 from .registration import all_pairs_match_counts, register_edge
 from .sift import sift_extract
 
@@ -184,9 +183,16 @@ class Stitcher:
         new_h, new_w, min_x, min_y = compose.canvas_plan(
             fwd_host, src_shape, result.shape[:2], cfg.warp_model)
 
+        if cfg.exact_canvas:
+            comp_hw = (new_h, new_w)
+        else:
+            # pad the working canvas up a geometric size grid (O(log) blend
+            # shapes per run), crop the blend result back to the exact size
+            comp_hw = (compose.bucket_size(new_h, cfg.canvas_bucket),
+                       compose.bucket_size(new_w, cfg.canvas_bucket))
+
         a, b = compose.composite(projected[dst_i], result, backward,
-                                 min_x, min_y, (new_h, new_w),
-                                 cfg.warp_model)
+                                 min_x, min_y, comp_hw, cfg.warp_model)
         if cfg.blend.gain_compensation:
             from .gain import gain_compensate
 
@@ -200,7 +206,7 @@ class Stitcher:
 
         blended = blend_two_images(a, b, cfg.blend.level_mode,
                                    cfg.blend.blur_sigma)
-        return trunc_u8(blended), dst_i
+        return trunc_u8(blended[:new_h, :new_w]), dst_i
 
     # ----------------------------------------------------------------- main
     def stitch(self, images: Sequence[np.ndarray]) -> np.ndarray:

@@ -17,7 +17,6 @@ TPU-native specifics:
 """
 from __future__ import annotations
 
-import math
 
 import jax
 import jax.numpy as jnp
@@ -35,7 +34,7 @@ from .stitcher import _update_features_by_offset, _update_features_by_warp
 
 
 def _bucket(v: int, bucket: int) -> int:
-    return int(math.ceil(v / bucket) * bucket)
+    return compose.bucket_size(v, bucket)
 
 
 class StreamingStitcher:

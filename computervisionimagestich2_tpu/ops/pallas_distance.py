@@ -33,7 +33,7 @@ def _kernel(qry_ref, ref_ref, ref_valid_ref, d1_ref, d2_ref, i1_ref,
     na = ref_ref.shape[0]
     n_feat = qry_ref.shape[1]
     n_ref_tiles = na // ta
-    n_k = n_feat // kc
+
 
     q = qry_ref[:]                                    # [TB, F]
 
