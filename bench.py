@@ -33,8 +33,9 @@ def main():
     import gc
 
     times = []
-    for _ in range(5):
+    for _ in range(8):
         gc.collect()
+        time.sleep(0.5)  # let the tunnel queue drain between runs
         t0 = time.perf_counter()
         out = stitcher.stitch(images)
         times.append((time.perf_counter() - t0) * 1000.0)

@@ -30,6 +30,18 @@ def main(argv=None):
                         "(the ex6 clock() print)")
     p.add_argument("--no-enhance", action="store_true",
                    help="skip the equalization/luma-mix tail")
+    p.add_argument("--warp-model", choices=["bilinear", "projective"],
+                   default="bilinear",
+                   help="bilinear = reference-exact; projective = true DLT")
+    p.add_argument("--gain-compensation", action="store_true",
+                   help="match overlap luma before blending")
+    p.add_argument("--bucketed-canvas", action="store_true",
+                   help="pad canvases onto a geometric size grid (fewer "
+                        "compiles for long chains; parity-exact sizes off)")
+    p.add_argument("--artifacts", default=None,
+                   help="directory to dump per-stage npz artifacts")
+    p.add_argument("--verbose", action="store_true",
+                   help="structured stage logging to stderr")
     args = p.parse_args(argv)
 
     import dataclasses
@@ -49,13 +61,23 @@ def main(argv=None):
     paths = [os.path.join(args.input, f"{i}.bmp") for i in range(1, count + 1)]
     images = [load_image(pth) for pth in paths]
 
-    cfg = dataclasses.replace(DEFAULT_CONFIG, ordering=args.ordering)
+    cfg = dataclasses.replace(DEFAULT_CONFIG, ordering=args.ordering,
+                              warp_model=args.warp_model,
+                              exact_canvas=not args.bucketed_canvas)
     if args.ordering == "chain":
         cfg = dataclasses.replace(
-            cfg, enhance=dataclasses.replace(cfg.enhance, mix_weight=5.0 / 6.0))
+            cfg, enhance=dataclasses.replace(cfg.enhance, mix_weight=5.0 / 6.0),
+            blend=dataclasses.replace(cfg.blend, level_mode="min"))
+    if args.gain_compensation:
+        cfg = dataclasses.replace(
+            cfg, blend=dataclasses.replace(cfg.blend, gain_compensation=True))
+    if args.verbose:
+        from .utils import obs
+
+        obs.set_verbose(True)
 
     t0 = time.perf_counter()
-    stitcher = Stitcher(cfg)
+    stitcher = Stitcher(cfg, artifact_dir=args.artifacts)
     out = stitcher.stitch(images)
     elapsed = time.perf_counter() - t0
 

@@ -56,19 +56,47 @@ def _resize_weights(n_src: int, n_dst: int) -> np.ndarray:
     return w
 
 
+@lru_cache(maxsize=None)
+def _banded_weights(n_src: int, n_dst: int):
+    """The resize map in banded form: (idx0 [n_dst], w [n_dst, B]) with
+    out[t] = sum_b w[t, b] * src[idx0[t] + b]. O(n) constants instead of the
+    O(n^2) dense matrix (which, embedded as an XLA constant, made blend
+    programs for wide canvases exceed compile-payload limits)."""
+    dense = _resize_weights(n_src, n_dst)
+    band = max(int((dense != 0).sum(axis=1).max()), 1)
+    idx0 = np.zeros(n_dst, np.int32)
+    w = np.zeros((n_dst, band), np.float32)
+    for t in range(n_dst):
+        nz = np.nonzero(dense[t])[0]
+        first = int(nz[0]) if len(nz) else 0
+        first = min(first, n_src - band)
+        idx0[t] = first
+        w[t] = dense[t, first:first + band]
+    return idx0, w
+
+
+def _resize_axis1(img: jnp.ndarray, n_dst: int) -> jnp.ndarray:
+    """Resize axis 1 of [H, W, ...] with CImg semantics (banded gather)."""
+    n_src = img.shape[1]
+    if n_src == n_dst:
+        return img
+    idx0, w = _banded_weights(n_src, n_dst)
+    idx0 = jnp.asarray(idx0)
+    w = jnp.asarray(w)
+    out = None
+    for b in range(w.shape[1]):
+        wk = w[:, b].reshape((1, n_dst) + (1,) * (img.ndim - 2))
+        term = jnp.take(img, idx0 + b, axis=1) * wk
+        out = term if out is None else out + term
+    return out
+
+
 @partial(jax.jit, static_argnames=("out_h", "out_w"))
 def cimg_resize(img: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
     """CImg get_resize(out_w, out_h, 1, C, 3) on an [H, W] or [H, W, C] array."""
-    h, w = img.shape[0], img.shape[1]
-    wx = jnp.asarray(_resize_weights(w, out_w))  # [out_w, w]
-    wy = jnp.asarray(_resize_weights(h, out_h))  # [out_h, h]
     # x first, then y (CImg order; result identical for linear maps).
-    out = jnp.einsum("xw,hw...->hx...", wx, img,
-                     preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.HIGHEST)
-    out = jnp.einsum("yh,hx...->yx...", wy, out,
-                     preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.HIGHEST)
+    out = _resize_axis1(img, out_w)
+    out = jnp.swapaxes(_resize_axis1(jnp.swapaxes(out, 0, 1), out_h), 0, 1)
     return out
 
 
