@@ -75,11 +75,66 @@ def _banded_weights(n_src: int, n_dst: int):
     return idx0, w
 
 
+def _shrink_half_axis1(img: jnp.ndarray, n_dst: int) -> jnp.ndarray:
+    """n_dst == n_src // 2: idx0[t] == 2t exactly (ratio < 2 + 1/n_dst), so
+    the banded sum becomes strided slices — no gathers, no O(n^2) matmul."""
+    n_src = img.shape[1]
+    idx0, w = _banded_weights(n_src, n_dst)
+    assert (idx0 == 2 * np.arange(n_dst, dtype=np.int32)).all()
+    band = w.shape[1]
+    pad_cfg = [(0, 0)] * img.ndim
+    pad_cfg[1] = (0, band)
+    padded = jnp.pad(img, pad_cfg)
+    out = None
+    for b in range(band):
+        wk = jnp.asarray(w[:, b]).reshape(
+            (1, n_dst) + (1,) * (img.ndim - 2))
+        term = padded[:, b: b + 2 * n_dst: 2] * wk
+        out = term if out is None else out + term
+    return out
+
+
+def _enlarge2_axis1(img: jnp.ndarray, n_dst: int) -> jnp.ndarray:
+    """n_src == n_dst // 2 (the Laplacian expand): split even/odd output
+    columns; each parity reads src[t-1+b] for b in 0..2 — shifted slices."""
+    n_src = img.shape[1]
+    dense = _resize_weights(n_src, n_dst)
+    pad_cfg = [(0, 0)] * img.ndim
+    pad_cfg[1] = (1, 2)
+    padded = jnp.pad(img, pad_cfg)          # src index i -> padded i+1
+    halves = []
+    n_half = (n_dst + 1) // 2
+    for p in (0, 1):
+        rows = dense[p::2]                   # [n_p, n_src]
+        n_p = rows.shape[0]
+        w = np.zeros((n_half, 3), np.float32)
+        for t in range(n_p):
+            for b in range(3):
+                j = t - 1 + b
+                if 0 <= j < n_src:
+                    w[t, b] = rows[t, j]
+        out_p = None
+        for b in range(3):
+            wk = jnp.asarray(w[:, b]).reshape(
+                (1, n_half) + (1,) * (img.ndim - 2))
+            term = padded[:, b: b + n_half] * wk
+            out_p = term if out_p is None else out_p + term
+        halves.append(out_p)
+    inter = jnp.stack(halves, axis=2)        # [H, n_half, 2, ...]
+    inter = inter.reshape((img.shape[0], 2 * n_half) + img.shape[2:])
+    return inter[:, :n_dst]
+
+
 def _resize_axis1(img: jnp.ndarray, n_dst: int) -> jnp.ndarray:
-    """Resize axis 1 of [H, W, ...] with CImg semantics (banded gather)."""
+    """Resize axis 1 of [H, W, ...] with CImg semantics."""
     n_src = img.shape[1]
     if n_src == n_dst:
         return img
+    if n_dst == n_src // 2:
+        return _shrink_half_axis1(img, n_dst)
+    if n_src == n_dst // 2:
+        return _enlarge2_axis1(img, n_dst)
+    # generic ratio fallback (rare: not used by the blend pyramid)
     idx0, w = _banded_weights(n_src, n_dst)
     idx0 = jnp.asarray(idx0)
     w = jnp.asarray(w)
