@@ -82,5 +82,5 @@ def composite(src_img, result_img, backward_coeffs, min_x: float, min_y: float,
     a = warp_image(src_img, backward_coeffs, np.float32(min_x),
                    np.float32(min_y), out_shape=canvas_hw, model=model)
     b = shift_image(result_img, np.int32(int(min_x)), np.int32(int(min_y)),
-                    np.zeros(canvas_hw + (3,), np.float32))
+                    out_shape=canvas_hw)
     return a, b

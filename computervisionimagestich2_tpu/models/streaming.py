@@ -58,7 +58,7 @@ class StreamingStitcher:
         self._n_frames = 0
 
     def _prepare(self, frame: np.ndarray):
-        img = jnp.asarray(np.asarray(frame), jnp.float32)
+        img = jnp.asarray(np.asarray(frame)).astype(jnp.float32)
         if self.project:
             img = cylindrical_project(img, self.config.projection.angle_deg)
         feats = sift_extract(to_gray(img), self.config.sift)
@@ -109,4 +109,4 @@ class StreamingStitcher:
     def canvas(self) -> np.ndarray:
         if self._result is None:
             raise ValueError("no frames pushed")
-        return np.asarray(self._result).astype(np.uint8)
+        return np.asarray(self._result.astype(jnp.uint8))

@@ -190,12 +190,19 @@ def warp_image(src: jnp.ndarray, coeffs: jnp.ndarray,
     return jnp.where(valid[..., None], vals, out)
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("out_shape",))
 def shift_image(src: jnp.ndarray, offset_x: jnp.ndarray, offset_y: jnp.ndarray,
-                out: jnp.ndarray) -> jnp.ndarray:
+                out: jnp.ndarray | None = None,
+                out_shape: tuple[int, int] | None = None) -> jnp.ndarray:
     """Offset copy without interpolation (movingImageByOffset,
     ImageProcess.cpp:608-620). offset_* are ints (the reference truncates the
-    float canvas offsets at the call site, ImageProcess.cpp:224)."""
+    float canvas offsets at the call site, ImageProcess.cpp:224).
+
+    Pass ``out_shape`` to build the zero canvas on device (a host-built
+    canvas would ride the host->device link every stitch edge)."""
+    if out is None:
+        assert out_shape is not None
+        out = jnp.zeros(out_shape + (src.shape[2],), dtype=src.dtype)
     h, w = out.shape[0], out.shape[1]
     src_h, src_w = src.shape[0], src.shape[1]
     ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
