@@ -76,8 +76,11 @@ def blend_two_images(a: jnp.ndarray, b: jnp.ndarray,
     b_pyr = [b]
     m_pyr = [mask0]
     for i in range(1, levels):
-        hp = a_pyr[-1].shape[0] // 2
-        wp = a_pyr[-1].shape[1] // 2
+        # clamp to >= 1: with max-dim level counts a narrow canvas would hit
+        # size 0 (the reference's root variant would crash there; CImg can't
+        # resize to 0 — sane clamp instead)
+        hp = max(a_pyr[-1].shape[0] // 2, 1)
+        wp = max(a_pyr[-1].shape[1] // 2, 1)
         a_pyr.append(cimg_resize(_blur_hwc(a_pyr[-1], blur_sigma), hp, wp))
         b_pyr.append(cimg_resize(_blur_hwc(b_pyr[-1], blur_sigma), hp, wp))
         m_pyr.append(cimg_resize(_blur_hwc(m_pyr[-1], blur_sigma), hp, wp))
