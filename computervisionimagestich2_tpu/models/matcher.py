@@ -21,6 +21,7 @@ import jax.numpy as jnp
 from ..config import MatchConfig
 from ..core.types import Features, MatchPairs
 from ..ops import distance as dist_ops
+from ..ops.compaction import compact_indices
 
 
 @partial(jax.jit, static_argnames=("ratio", "distance", "max_matches"))
@@ -32,9 +33,7 @@ def match_features(feats_a: Features, feats_b: Features,
     ok, idx_a = dist_ops.ratio_match(
         feats_b.desc, feats_a.desc, feats_b.valid, feats_a.valid,
         ratio, distance)
-    (sel,) = jnp.nonzero(ok, size=max_matches, fill_value=0)
-    n = jnp.sum(ok.astype(jnp.int32))
-    valid = jnp.arange(max_matches) < n
+    sel, valid = compact_indices(ok, max_matches)
     src_xy = feats_a.xy[idx_a[sel]]
     dst_xy = feats_b.xy[sel]
     return MatchPairs(src_xy=src_xy, dst_xy=dst_xy, valid=valid)

@@ -103,8 +103,7 @@ def _process_octave(octave: jnp.ndarray, cfg: SiftConfig, octave_index: int):
     results = []
     for l in range(cfg.n_levels):
         sel = ok & (lvl == l)
-        (kp_idx,) = jnp.nonzero(sel, size=cap_l, fill_value=0)
-        kp_valid = jnp.arange(cap_l) < jnp.sum(sel.astype(jnp.int32))
+        kp_idx, kp_valid = sk.compact_indices(sel, cap_l)
         xl, yl, sl = x[kp_idx], y[kp_idx], sigma[kp_idx]
 
         r_ori = sk.ori_patch_radius(cfg.sigma0, cfg.n_levels, cfg.s_max, l)
@@ -122,8 +121,7 @@ def _process_octave(octave: jnp.ndarray, cfg: SiftConfig, octave_index: int):
         rep = lambda a: jnp.repeat(a, cfg.max_angles, axis=0)
         ka_x, ka_y, ka_sigma = map(rep, (xl, yl, sl))
         ka_angle = angles.reshape(-1)
-        (da_idx,) = jnp.nonzero(ka_valid, size=cap_d, fill_value=0)
-        d_valid = jnp.arange(cap_d) < jnp.sum(ka_valid.astype(jnp.int32))
+        da_idx, d_valid = sk.compact_indices(ka_valid, cap_d)
         d_x, d_y, d_sigma, d_angle = (
             ka_x[da_idx], ka_y[da_idx], ka_sigma[da_idx], ka_angle[da_idx])
 
@@ -175,7 +173,6 @@ def sift_extract(gray: jnp.ndarray, cfg: SiftConfig = SiftConfig()) -> Features:
     valid = jnp.concatenate([p[3] for p in per_octave])
 
     cap = cfg.max_keypoints
-    (idx,) = jnp.nonzero(valid, size=cap, fill_value=0)
-    out_valid = jnp.arange(cap) < jnp.sum(valid.astype(jnp.int32))
+    idx, out_valid = sk.compact_indices(valid, cap)
     return Features(desc=desc[idx], xy=xy[idx], scale=sigma[idx],
                     valid=out_valid)

@@ -31,6 +31,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from .compaction import compact_indices
+
 TWO_PI = 2.0 * math.pi
 EPSILON_F = 1.19209290e-07  # VL_EPSILON_F
 
@@ -78,9 +80,9 @@ def compact_mask(mask: jnp.ndarray, capacity: int):
     Returns (indices [capacity, ndim] int32, valid [capacity] bool) in
     C-scan order (s, then y, then x — the reference's append order).
     """
-    flat = mask.reshape(-1)
-    (idx,) = jnp.nonzero(flat, size=capacity, fill_value=0)
-    valid = jnp.arange(capacity) < jnp.sum(flat.astype(jnp.int32))
+    from .compaction import compact_indices
+
+    idx, valid = compact_indices(mask, capacity)
     coords = jnp.stack(jnp.unravel_index(idx, mask.shape), axis=-1)
     return coords.astype(jnp.int32), valid
 
