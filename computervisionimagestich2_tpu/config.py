@@ -35,6 +35,11 @@ class SiftConfig:
     # replacing the dynamic keys buffer at vl/sift.c:580-590).
     max_keypoints_per_octave: int = 2048
     max_keypoints: int = 2048     # total after orientation expansion
+    # Per-keypoint orientation/descriptor backend: "auto" uses the Pallas
+    # keypoint-walk kernels (ops/pallas_sift.py) on TPU and the dense XLA
+    # batch elsewhere; "on"/"off" force a choice. Note the Pallas kernels
+    # do not vmap — batch paths that vmap sift_extract must set "off".
+    pallas: str = "auto"
 
     @property
     def sigma_k(self) -> float:

@@ -32,6 +32,18 @@ from ..ops.gaussian import gaussian_blur
 from ..ops.resize import vlfeat_downsample
 
 
+def _pallas_enabled(cfg: SiftConfig) -> bool:
+    """Trace-time backend choice for the per-keypoint stages."""
+    if cfg.pallas == "on":
+        return True
+    if cfg.pallas == "off":
+        return False
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
 def scale_space_sigmas(cfg: SiftConfig):
     """Per-level incremental smoothing sigmas, identical for every octave
     (vl/sift.c:394-404)."""
@@ -100,6 +112,7 @@ def _process_octave(octave: jnp.ndarray, cfg: SiftConfig, octave_index: int):
     # so their orientation/descriptor windows are tighter — the dominant
     # per-keypoint cost scales with the realistic patch, not the worst case
     cap_l = max(128, (2 * cap_kp) // (cfg.n_levels + 1))
+    use_pallas = _pallas_enabled(cfg)
     results = []
     for l in range(cfg.n_levels):
         sel = ok & (lvl == l)
@@ -108,12 +121,24 @@ def _process_octave(octave: jnp.ndarray, cfg: SiftConfig, octave_index: int):
 
         r_ori = sk.ori_patch_radius(cfg.sigma0, cfg.n_levels, cfg.s_max, l)
         grad_l = grad[l:l + 1]
-        grad_pad = jnp.pad(grad_l, ((0, 0), (r_ori, r_ori),
-                                    (r_ori, r_ori), (0, 0)))
-        zeros_lvl = jnp.zeros(cap_l, jnp.int32)
-        angles, a_valid = sk.orientation_histograms(
-            grad_pad, zeros_lvl, xl / xper, yl / xper, sl / xper, kp_valid,
-            w, h, r_ori, cfg.n_ori_bins, cfg.max_angles)
+        if use_pallas and 2 * r_ori + 1 <= 128:
+            from ..ops import pallas_sift as ps
+
+            mod_o = ps.pad_for_patches(grad[l, :, :, 0], r_ori)
+            ang_o = ps.pad_for_patches(grad[l, :, :, 1], r_ori)
+            n_l = jnp.sum(kp_valid.astype(jnp.int32))[None]
+            hist, o_ok = ps.orientation_hist_pallas(
+                mod_o, ang_o, xl / xper, yl / xper, sl / xper, n_l,
+                w, h, r_ori, cfg.n_ori_bins)
+            angles, a_valid = sk.orientation_peaks(
+                hist, o_ok & kp_valid, cfg.n_ori_bins, cfg.max_angles)
+        else:
+            grad_pad = jnp.pad(grad_l, ((0, 0), (r_ori, r_ori),
+                                        (r_ori, r_ori), (0, 0)))
+            zeros_lvl = jnp.zeros(cap_l, jnp.int32)
+            angles, a_valid = sk.orientation_histograms(
+                grad_pad, zeros_lvl, xl / xper, yl / xper, sl / xper,
+                kp_valid, w, h, r_ori, cfg.n_ori_bins, cfg.max_angles)
 
         # expand keypoints x angles -> flat list, compact
         cap_d = cap_l + cap_l // 2
@@ -127,13 +152,26 @@ def _process_octave(octave: jnp.ndarray, cfg: SiftConfig, octave_index: int):
 
         r_desc = sk.desc_patch_radius(cfg.sigma0, cfg.n_levels, cfg.s_max,
                                       cfg.magnif, cfg.n_spatial_bins, l)
-        grad_pad2 = jnp.pad(grad_l, ((0, 0), (r_desc, r_desc),
-                                     (r_desc, r_desc), (0, 0)))
-        desc, d_ok = sk.descriptors(
-            grad_pad2, jnp.zeros(cap_d, jnp.int32), d_x / xper, d_y / xper,
-            d_sigma / xper, d_angle, d_valid, w, h, r_desc, cfg.magnif,
-            cfg.n_spatial_bins / 2.0, cfg.n_spatial_bins,
-            cfg.n_desc_ori_bins)
+        if use_pallas and 2 * r_desc + 1 <= 128 \
+                and cfg.n_spatial_bins ** 2 * cfg.n_desc_ori_bins == 128:
+            from ..ops import pallas_sift as ps
+
+            mod_d = ps.pad_for_patches(grad[l, :, :, 0], r_desc)
+            ang_d = ps.pad_for_patches(grad[l, :, :, 1], r_desc)
+            n_d = jnp.sum(d_valid.astype(jnp.int32))[None]
+            desc, d_ok = ps.descriptors_pallas(
+                mod_d, ang_d, d_x / xper, d_y / xper, d_sigma / xper,
+                d_angle, n_d, w, h, r_desc, cfg.magnif,
+                cfg.n_spatial_bins / 2.0, cfg.n_spatial_bins,
+                cfg.n_desc_ori_bins)
+        else:
+            grad_pad2 = jnp.pad(grad_l, ((0, 0), (r_desc, r_desc),
+                                         (r_desc, r_desc), (0, 0)))
+            desc, d_ok = sk.descriptors(
+                grad_pad2, jnp.zeros(cap_d, jnp.int32), d_x / xper,
+                d_y / xper, d_sigma / xper, d_angle, d_valid, w, h, r_desc,
+                cfg.magnif, cfg.n_spatial_bins / 2.0, cfg.n_spatial_bins,
+                cfg.n_desc_ori_bins)
         results.append((desc, jnp.stack([d_x, d_y], axis=-1), d_sigma, d_ok))
 
     desc = jnp.concatenate([r[0] for r in results])

@@ -1,0 +1,353 @@
+"""Pallas TPU kernels for the per-keypoint SIFT stages (orientation
+histograms and descriptors).
+
+Why Pallas here: the XLA formulation (ops/sift_kernels.py) batches every
+static keypoint slot densely — [cap, P^2, bins] intermediates hit HBM, and
+padding slots (50-85% of the batch on real images) cost as much as real
+keypoints. These kernels instead walk the keypoint list as a Pallas grid:
+
+- one keypoint per grid step; steps past the live count skip both the patch
+  DMA and the compute (data-dependent early-out XLA cannot express);
+- the [P, 128] gradient patch is double-buffered HBM->VMEM with manual
+  async copies, so DMA for keypoint i+1 overlaps compute for keypoint i;
+- the trilinear descriptor contraction stays entirely in VMEM/registers:
+  8 orientation-hat planes + 16 spatial-hat masks + 128 multiply-reduces,
+  with lane-one-hot accumulation into the final [1, 128] descriptor row.
+
+Math is identical to vl_sift_calc_keypoint_orientations /
+vl_sift_calc_keypoint_descriptor (/root/reference/vl/sift.c:904-1036,
+1268-1438) as re-derived in ops/sift_kernels.py; the bilinear orientation
+scatter and the trilinear descriptor scatter become hat-function weights
+evaluated per (pixel, bin).
+
+Constraints: patch side P = 2*radius+1 must fit one lane tile (P <= 128,
+true for every level of the app's 4-octave/2-level configuration); callers
+fall back to the XLA path otherwise.
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TWO_PI = 2.0 * math.pi
+EPSILON_F = 1.19209290e-07   # VL_EPSILON_F
+EPSILON_D = 2.220446049250313e-16
+
+_LANES = 128
+
+
+def _rows(p: int) -> int:
+    """Patch DMA row count: P rounded up to the sublane tile (8), plus one
+    extra tile for the tile-alignment residual of the window start."""
+    return -(-p // 8) * 8 + 8
+
+
+def pad_for_patches(plane: jnp.ndarray, radius: int) -> jnp.ndarray:
+    """Zero-pad a [H, W] plane for tile-aligned patch DMA.
+
+    Mosaic requires HBM slice offsets and shapes to be tile multiples
+    ((8, 128) for f32), so the kernels copy a [rows(P), 256] window whose
+    start is the window's top-left rounded DOWN to the tile grid; the
+    residual (<8 rows, <128 lanes) is folded into the in-kernel index math.
+    Padding covers the worst-case aligned window for any top-left
+    (yc, xc), yc in [0, H), xc in [0, W)."""
+    p = 2 * radius + 1
+    return jnp.pad(plane, ((radius, _rows(p)), (radius, 2 * _LANES - 1)))
+
+
+def _patch_copy(hbm_ref, yx_ref, k, buf_ref, slot, sem_ref, p: int):
+    # yx is packed (y << 16 | x) to halve the SMEM prefetch footprint
+    y0a = pl.multiple_of(((yx_ref[k] >> 16) >> 3) << 3, 8)
+    x0a = pl.multiple_of(((yx_ref[k] & 0xFFFF) >> 7) << 7, _LANES)
+    return pltpu.make_async_copy(
+        hbm_ref.at[pl.ds(y0a, _rows(p)), pl.ds(x0a, 2 * _LANES)],
+        buf_ref.at[slot], sem_ref.at[slot])
+
+
+def _hat(v):
+    return jnp.maximum(0.0, 1.0 - jnp.abs(v))
+
+
+def _hat_circular(v, n: int):
+    d = jnp.abs(v)
+    d = jnp.minimum(d, n - d)
+    return jnp.maximum(0.0, 1.0 - d)
+
+
+# ------------------------------------------------------------- descriptors
+def _desc_kernel(nv_ref, yx_ref, par_ref, mod_hbm, ang_hbm,
+                 desc_ref, pm, pa, sems, *,
+                 radius: int, w: int, h: int, magnif: float,
+                 window_size: float, nbp: int, nbo: int):
+    i = pl.program_id(0)
+    nv = nv_ref[0]
+    p = 2 * radius + 1
+
+    @pl.when((i == 0) & (nv > 0))
+    def _():
+        _patch_copy(mod_hbm, yx_ref, 0, pm, 0, sems.at[:, 0], p).start()
+        _patch_copy(ang_hbm, yx_ref, 0, pa, 0, sems.at[:, 1], p).start()
+
+    @pl.when(i + 1 < nv)
+    def _():
+        nxt = (i + 1) % 2
+        _patch_copy(mod_hbm, yx_ref, i + 1, pm, nxt, sems.at[:, 0], p).start()
+        _patch_copy(ang_hbm, yx_ref, i + 1, pa, nxt, sems.at[:, 1], p).start()
+
+    # zero the whole output once; dead steps (i >= nv) then cost ~nothing
+    @pl.when(i == 0)
+    def _():
+        desc_ref[...] = jnp.zeros_like(desc_ref)
+
+    @pl.when(i < nv)
+    def _():
+        slot = i % 2
+        _patch_copy(mod_hbm, yx_ref, i, pm, slot, sems.at[:, 0], p).wait()
+        _patch_copy(ang_hbm, yx_ref, i, pa, slot, sems.at[:, 1], p).wait()
+        m = pm[slot]
+        a = pa[slot]
+
+        x = par_ref[i, 0]
+        y = par_ref[i, 1]
+        sigma = par_ref[i, 2]
+        ang0 = par_ref[i, 3]
+        okf = par_ref[i, 4]
+        yi0 = yx_ref[i] >> 16
+        xi0 = yx_ref[i] & 0xFFFF
+        yif = jnp.float32(yi0)
+        xif = jnp.float32(xi0)
+
+        dy0 = yi0 - ((yi0 >> 3) << 3)
+        dx0 = xi0 - ((xi0 >> 7) << 7)
+        col = jax.lax.broadcasted_iota(jnp.int32, (_rows(p), 2 * _LANES), 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, (_rows(p), 2 * _LANES), 0)
+        cr = col - dx0                  # col relative to the window start
+        rr = row - dy0
+        dxi = cr.astype(jnp.float32) - radius
+        dyi = rr.astype(jnp.float32) - radius
+
+        st0 = jnp.sin(ang0)
+        ct0 = jnp.cos(ang0)
+        sbp = magnif * sigma + EPSILON_D
+        wr = jnp.floor(math.sqrt(2.0) * sbp * (nbp + 1) / 2.0 + 0.5)
+
+        # pixel loop bounds (sift.c:1352-1357) + the 128-lane patch overhang
+        sel = ((cr >= 0) & (cr < p) & (rr >= 0) & (rr < p)
+               & (dxi >= jnp.maximum(-wr, 1.0 - xif))
+               & (dxi <= jnp.minimum(wr, w - xif - 2.0))
+               & (dyi >= jnp.maximum(-wr, 1.0 - yif))
+               & (dyi <= jnp.minimum(wr, h - yif - 2.0)))
+
+        dx = xif + dxi - x
+        dy = yif + dyi - y
+        nx = (ct0 * dx + st0 * dy) / sbp
+        ny = (-st0 * dx + ct0 * dy) / sbp
+        nt = nbo * jnp.mod(a - ang0, TWO_PI) / TWO_PI
+
+        win = jnp.exp(-(nx * nx + ny * ny)
+                      / (2.0 * window_size * window_size))
+        base = jnp.where(sel, win * m, 0.0)
+
+        planes = [base * _hat_circular(nt - t, nbo) for t in range(nbo)]
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+        half = nbp // 2
+        dvec = jnp.zeros((1, _LANES), jnp.float32)
+        for byi in range(nbp):
+            hy = _hat(ny - (byi - half + 0.5))
+            for bxi in range(nbp):
+                ws = hy * _hat(nx - (bxi - half + 0.5))
+                for t in range(nbo):
+                    s = jnp.sum(ws * planes[t])
+                    lane_id = (byi * nbp + bxi) * nbo + t
+                    dvec = dvec + jnp.where(lane == lane_id, s, 0.0)
+
+        norm1 = jnp.sqrt(jnp.sum(dvec * dvec)) + EPSILON_F
+        d = jnp.minimum(dvec / norm1, 0.2)
+        norm2 = jnp.sqrt(jnp.sum(d * d)) + EPSILON_F
+        desc_ref[pl.ds(i, 1), :] = jnp.where(okf > 0, d / norm2, 0.0)
+
+
+@partial(jax.jit, static_argnames=("radius", "w", "h", "magnif",
+                                   "window_size", "nbp", "nbo", "interpret"))
+def descriptors_pallas(mod_pad: jnp.ndarray, ang_pad: jnp.ndarray,
+                       x: jnp.ndarray, y: jnp.ndarray, sigma: jnp.ndarray,
+                       angle: jnp.ndarray, n_valid: jnp.ndarray,
+                       w: int, h: int, radius: int, magnif: float = 3.0,
+                       window_size: float = 2.0, nbp: int = 4, nbo: int = 8,
+                       interpret: bool = False):
+    """Descriptor batch on the keypoint-walk Pallas kernel.
+
+    mod_pad/ang_pad: ``pad_for_patches(plane, radius)`` of one gradient
+    level. x/y/sigma/angle: [N] octave-local keypoint lists, valid-prefix
+    compacted; n_valid: [1] int32 live count. Returns (desc [N, 128],
+    ok [N] bool) — same contract as ops.sift_kernels.descriptors.
+    """
+    n = x.shape[0]
+    p = 2 * radius + 1
+    assert p <= _LANES, "patch exceeds one lane tile; use the XLA path"
+    assert nbp * nbp * nbo == _LANES
+
+    xi = jnp.floor(x + 0.5).astype(jnp.int32)
+    yi = jnp.floor(y + 0.5).astype(jnp.int32)
+    xi_c = jnp.clip(xi, 0, w - 1)
+    yi_c = jnp.clip(yi, 0, h - 1)
+    ok = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h - 1)
+    yx = (yi_c << 16) | xi_c
+    par = jnp.stack([x, y, sigma, angle, ok.astype(jnp.float32),
+                     jnp.zeros_like(x), jnp.zeros_like(x),
+                     jnp.zeros_like(x)], axis=-1)
+
+    kernel = partial(_desc_kernel, radius=radius, w=w, h=h, magnif=magnif,
+                     window_size=window_size, nbp=nbp, nbo=nbo)
+    desc = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.HBM),
+                pl.BlockSpec(memory_space=pltpu.HBM),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((2, _rows(p), 2 * _LANES), jnp.float32),
+                pltpu.VMEM((2, _rows(p), 2 * _LANES), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, 2)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, _LANES), jnp.float32),
+        interpret=interpret,
+    )(n_valid, yx, par, mod_pad, ang_pad)
+    slot_live = jnp.arange(n) < n_valid[0]
+    return desc, ok & slot_live
+
+
+# ------------------------------------------------------------ orientations
+def _ori_kernel(nv_ref, yx_ref, par_ref, mod_hbm, ang_hbm, hist_ref,
+                pm, pa, sems, *, radius: int, w: int, h: int,
+                n_bins: int, winf: float):
+    i = pl.program_id(0)
+    nv = nv_ref[0]
+    p = 2 * radius + 1
+
+    @pl.when((i == 0) & (nv > 0))
+    def _():
+        _patch_copy(mod_hbm, yx_ref, 0, pm, 0, sems.at[:, 0], p).start()
+        _patch_copy(ang_hbm, yx_ref, 0, pa, 0, sems.at[:, 1], p).start()
+
+    @pl.when(i + 1 < nv)
+    def _():
+        nxt = (i + 1) % 2
+        _patch_copy(mod_hbm, yx_ref, i + 1, pm, nxt, sems.at[:, 0], p).start()
+        _patch_copy(ang_hbm, yx_ref, i + 1, pa, nxt, sems.at[:, 1], p).start()
+
+    # zero the whole output once; dead steps (i >= nv) then cost ~nothing
+    @pl.when(i == 0)
+    def _():
+        hist_ref[...] = jnp.zeros_like(hist_ref)
+
+    @pl.when(i < nv)
+    def _():
+        slot = i % 2
+        _patch_copy(mod_hbm, yx_ref, i, pm, slot, sems.at[:, 0], p).wait()
+        _patch_copy(ang_hbm, yx_ref, i, pa, slot, sems.at[:, 1], p).wait()
+        m = pm[slot]
+        a = pa[slot]
+
+        x = par_ref[i, 0]
+        y = par_ref[i, 1]
+        sigma = par_ref[i, 2]
+        okf = par_ref[i, 3]
+        yi0 = yx_ref[i] >> 16
+        xi0 = yx_ref[i] & 0xFFFF
+        yif = jnp.float32(yi0)
+        xif = jnp.float32(xi0)
+
+        dy0 = yi0 - ((yi0 >> 3) << 3)
+        dx0 = xi0 - ((xi0 >> 7) << 7)
+        col = jax.lax.broadcasted_iota(jnp.int32, (_rows(p), 2 * _LANES), 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, (_rows(p), 2 * _LANES), 0)
+        cr = col - dx0                  # col relative to the window start
+        rr = row - dy0
+        dxi = cr.astype(jnp.float32) - radius
+        dyi = rr.astype(jnp.float32) - radius
+
+        dx = (xif + dxi) - x
+        dy = (yif + dyi) - y
+        r2 = dx * dx + dy * dy
+
+        sigmaw = winf * sigma
+        wr = jnp.maximum(jnp.floor(3.0 * sigmaw), 1.0)
+        img_x = xif + dxi
+        img_y = yif + dyi
+        sel = ((cr >= 0) & (cr < p) & (rr >= 0) & (rr < p)
+               & (jnp.abs(dxi) <= wr) & (jnp.abs(dyi) <= wr)
+               & (img_x >= 0) & (img_x <= w - 1)
+               & (img_y >= 0) & (img_y <= h - 1)
+               & (r2 < wr * wr + 0.6))
+
+        wgt = jnp.exp(-r2 / (2.0 * sigmaw * sigmaw))
+        mw = jnp.where(sel, m * wgt, 0.0) * okf
+
+        fbin = n_bins * a / TWO_PI - 0.5
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+        hvec = jnp.zeros((1, _LANES), jnp.float32)
+        for b in range(n_bins):
+            s = jnp.sum(mw * _hat_circular(fbin - b, n_bins))
+            hvec = hvec + jnp.where(lane == b, s, 0.0)
+        hist_ref[pl.ds(i, 1), :] = hvec
+
+
+@partial(jax.jit, static_argnames=("radius", "w", "h", "n_bins", "winf",
+                                   "interpret"))
+def orientation_hist_pallas(mod_pad: jnp.ndarray, ang_pad: jnp.ndarray,
+                            x: jnp.ndarray, y: jnp.ndarray,
+                            sigma: jnp.ndarray, n_valid: jnp.ndarray,
+                            w: int, h: int, radius: int, n_bins: int = 36,
+                            winf: float = 1.5, interpret: bool = False):
+    """Raw [N, n_bins] orientation histograms (pre-smoothing). Returns
+    (hist, ok). Smoothing and peak extraction stay in XLA ([N, 36] work).
+    """
+    n = x.shape[0]
+    p = 2 * radius + 1
+    assert p <= _LANES, "patch exceeds one lane tile; use the XLA path"
+    assert n_bins <= _LANES
+
+    xi = jnp.floor(x + 0.5).astype(jnp.int32)
+    yi = jnp.floor(y + 0.5).astype(jnp.int32)
+    ok = (xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1)
+    xi_c = jnp.clip(xi, 0, w - 1)
+    yi_c = jnp.clip(yi, 0, h - 1)
+    yx = (yi_c << 16) | xi_c
+    par = jnp.stack([x, y, sigma, ok.astype(jnp.float32)], axis=-1)
+
+    kernel = partial(_ori_kernel, radius=radius, w=w, h=h, n_bins=n_bins,
+                     winf=winf)
+    hist = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.HBM),
+                pl.BlockSpec(memory_space=pltpu.HBM),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((2, _rows(p), 2 * _LANES), jnp.float32),
+                pltpu.VMEM((2, _rows(p), 2 * _LANES), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, 2)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, _LANES), jnp.float32),
+        interpret=interpret,
+    )(n_valid, yx, par, mod_pad, ang_pad)
+    return hist[:, :n_bins], ok

@@ -337,6 +337,15 @@ def orientation_histograms(grad_pad: jnp.ndarray, lvl_idx: jnp.ndarray,
         + jnp.einsum("np,npb->nb", mw * rbin, oh2,
                      precision=jax.lax.Precision.HIGHEST)
 
+    return orientation_peaks(hist, ok, n_bins, max_angles)
+
+
+def orientation_peaks(hist: jnp.ndarray, ok: jnp.ndarray, n_bins: int = 36,
+                      max_angles: int = 4):
+    """Histogram smoothing + peak extraction (sift.c:1000-1032), shared by
+    the XLA and Pallas histogram builders. hist: [N, n_bins] raw histograms,
+    ok: [N] keypoint acceptance. Returns (angles [N, max_angles], valid)."""
+    n = hist.shape[0]
     # 6 rounds of circular [1,1,1]/3 smoothing (sift.c:1000-1011)
     for _ in range(6):
         hist = (jnp.roll(hist, 1, axis=1) + hist + jnp.roll(hist, -1, axis=1)) / 3.0

@@ -25,8 +25,13 @@ from ..ops.warp import cylindrical_project
 def _register_one(gray_a: jnp.ndarray, gray_b: jnp.ndarray,
                   cfg: StitchConfig):
     """Pairwise registration: features of a and b -> warp coeffs b->a."""
-    fa = sift_extract(gray_a, cfg.sift)
-    fb = sift_extract(gray_b, cfg.sift)
+    import dataclasses
+
+    # this path is vmapped over the pair batch; the Pallas keypoint-walk
+    # kernels don't batch, so pin the XLA per-keypoint backend
+    sift_cfg = dataclasses.replace(cfg.sift, pallas="off")
+    fa = sift_extract(gray_a, sift_cfg)
+    fb = sift_extract(gray_b, sift_cfg)
     pairs = match_features(fb, fa, cfg.match.ratio_threshold,
                            cfg.match.distance, cfg.match.max_matches)
     key = jax.random.PRNGKey(cfg.ransac.seed)
@@ -51,12 +56,24 @@ def batched_pairwise_register(gray_a: jnp.ndarray, gray_b: jnp.ndarray,
 def batched_project_and_extract(images: jnp.ndarray,
                                 cfg: StitchConfig = DEFAULT_CONFIG):
     """Cylindrical projection + luma + SIFT over a batch of images
-    [B, H, W, 3] — the vmapped form of readFile (ImageProcess.cpp:11-24),
+    [B, H, W, 3] — the batched form of readFile (ImageProcess.cpp:11-24),
     the parallelism the reference's per-image threads only attempted
-    (src/ex6/ImageProcess.cpp:44-50 creates-then-joins inside the loop)."""
+    (src/ex6/ImageProcess.cpp:44-50 creates-then-joins inside the loop).
+
+    With the Pallas per-keypoint kernels enabled the batch is unrolled
+    inside one jitted program (the kernels don't vmap; measured equal
+    wall-time to the vmapped form on one chip — each image's keypoint
+    walk sizes itself to the live count instead of the static batch cap).
+    """
+    from ..models.sift import _pallas_enabled
+
     def one(img):
         proj = cylindrical_project(img, cfg.projection.angle_deg)
         return sift_extract(to_gray(proj), cfg.sift), proj
+
+    if _pallas_enabled(cfg.sift):
+        outs = [one(images[i]) for i in range(images.shape[0])]
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *outs)
     return jax.vmap(one)(images)
 
 

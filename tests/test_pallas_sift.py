@@ -1,0 +1,78 @@
+"""Pallas per-keypoint kernels vs the XLA reference path (interpret mode).
+
+The keypoint-walk kernels (ops/pallas_sift.py) must reproduce the XLA
+formulation bit-closely; on TPU they replace it (SiftConfig.pallas="auto").
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from computervisionimagestich2_tpu.ops import pallas_sift as ps
+from computervisionimagestich2_tpu.ops import sift_kernels as sk
+
+
+@pytest.fixture(scope="module")
+def scene():
+    rng = np.random.default_rng(7)
+    h, w = 96, 80
+    mod = jnp.asarray(rng.random((h, w), dtype=np.float32))
+    ang = jnp.asarray((rng.random((h, w)) * 2 * np.pi).astype(np.float32))
+    n, nv = 48, 31
+    x = jnp.asarray((rng.random(n) * (w - 1) * 1.06 - 2).astype(np.float32))
+    y = jnp.asarray((rng.random(n) * (h - 1) * 1.06 - 2).astype(np.float32))
+    sig = jnp.asarray((1.2 + rng.random(n) * 2.5).astype(np.float32))
+    a0 = jnp.asarray((rng.random(n) * 2 * np.pi).astype(np.float32))
+    return h, w, mod, ang, n, nv, x, y, sig, a0
+
+
+def test_orientation_matches_xla(scene):
+    h, w, mod, ang, n, nv, x, y, sig, _ = scene
+    r = 17
+    grad = jnp.stack([mod, ang], axis=-1)[None]
+    gp = jnp.pad(grad, ((0, 0), (r, r), (r, r), (0, 0)))
+    valid = jnp.arange(n) < nv
+    ang_ref, av_ref = sk.orientation_histograms(
+        gp, jnp.zeros(n, jnp.int32), x, y, sig, valid, w, h, r, 36, 4)
+
+    mp = ps.pad_for_patches(mod, r)
+    ap = ps.pad_for_patches(ang, r)
+    hist, ok = ps.orientation_hist_pallas(
+        mp, ap, x, y, sig, jnp.asarray([nv], jnp.int32), w, h, r, 36,
+        interpret=True)
+    ang_p, av_p = sk.orientation_peaks(hist, ok & valid, 36, 4)
+    np.testing.assert_array_equal(np.asarray(av_ref), np.asarray(av_p))
+    np.testing.assert_allclose(np.asarray(ang_ref), np.asarray(ang_p),
+                               atol=1e-5)
+
+
+def test_descriptor_matches_xla(scene):
+    h, w, mod, ang, n, nv, x, y, sig, a0 = scene
+    r = 28
+    grad = jnp.stack([mod, ang], axis=-1)[None]
+    gp = jnp.pad(grad, ((0, 0), (r, r), (r, r), (0, 0)))
+    valid = jnp.arange(n) < nv
+    desc_ref, ok_ref = sk.descriptors(
+        gp, jnp.zeros(n, jnp.int32), x, y, sig, a0, valid, w, h, r,
+        3.0, 2.0, 4, 8)
+
+    mp = ps.pad_for_patches(mod, r)
+    ap = ps.pad_for_patches(ang, r)
+    desc_p, ok_p = ps.descriptors_pallas(
+        mp, ap, x, y, sig, a0, jnp.asarray([nv], jnp.int32), w, h, r,
+        3.0, 2.0, 4, 8, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ok_ref), np.asarray(ok_p))
+    np.testing.assert_allclose(np.asarray(desc_ref), np.asarray(desc_p),
+                               atol=2e-6)
+
+
+def test_dead_slots_zeroed(scene):
+    h, w, mod, ang, n, nv, x, y, sig, a0 = scene
+    r = 10
+    mp = ps.pad_for_patches(mod, r)
+    ap = ps.pad_for_patches(ang, r)
+    desc_p, ok_p = ps.descriptors_pallas(
+        mp, ap, x, y, sig, a0, jnp.asarray([5], jnp.int32), w, h, r,
+        3.0, 2.0, 4, 8, interpret=True)
+    assert not np.asarray(ok_p)[5:].any()
+    np.testing.assert_array_equal(np.asarray(desc_p)[5:], 0.0)
