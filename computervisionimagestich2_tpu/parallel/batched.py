@@ -53,6 +53,18 @@ def batched_pairwise_register(gray_a: jnp.ndarray, gray_b: jnp.ndarray,
 
 
 @partial(jax.jit, static_argnames=("cfg",))
+def _project_and_extract_one(image: jnp.ndarray,
+                             cfg: StitchConfig = DEFAULT_CONFIG):
+    proj = cylindrical_project(image, cfg.projection.angle_deg)
+    return sift_extract(to_gray(proj), cfg.sift), proj
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _project_and_extract_vmapped(images: jnp.ndarray,
+                                 cfg: StitchConfig = DEFAULT_CONFIG):
+    return jax.vmap(lambda im: _project_and_extract_one(im, cfg))(images)
+
+
 def batched_project_and_extract(images: jnp.ndarray,
                                 cfg: StitchConfig = DEFAULT_CONFIG):
     """Cylindrical projection + luma + SIFT over a batch of images
@@ -60,21 +72,20 @@ def batched_project_and_extract(images: jnp.ndarray,
     the parallelism the reference's per-image threads only attempted
     (src/ex6/ImageProcess.cpp:44-50 creates-then-joins inside the loop).
 
-    With the Pallas per-keypoint kernels enabled the batch is unrolled
-    inside one jitted program (the kernels don't vmap; measured equal
-    wall-time to the vmapped form on one chip — each image's keypoint
-    walk sizes itself to the live count instead of the static batch cap).
+    With the Pallas per-keypoint kernels enabled the batch runs as B
+    pipelined dispatches of ONE compiled per-image program (the kernels
+    don't vmap, and B inlined copies would compile B times slower; each
+    image's keypoint walk sizes itself to the live count instead of the
+    static batch cap). The vmapped single-program form is kept for
+    CPU/mesh paths.
     """
     from ..models.sift import _pallas_enabled
 
-    def one(img):
-        proj = cylindrical_project(img, cfg.projection.angle_deg)
-        return sift_extract(to_gray(proj), cfg.sift), proj
-
     if _pallas_enabled(cfg.sift):
-        outs = [one(images[i]) for i in range(images.shape[0])]
+        outs = [_project_and_extract_one(images[i], cfg)
+                for i in range(images.shape[0])]
         return jax.tree.map(lambda *xs: jnp.stack(xs), *outs)
-    return jax.vmap(one)(images)
+    return _project_and_extract_vmapped(images, cfg)
 
 
 def shard_batch(mesh: Mesh, *arrays):
