@@ -150,6 +150,12 @@ class StitchConfig:
     # the TPU-native answer to the reference's unbounded canvas growth
     # (ImageProcess.cpp:215-219).
     canvas_bucket: int = 128
+    # planned=True registers every stitch edge in ONE device program (a
+    # lax.scan over edges — matching, RANSAC, canvas bounds, feature
+    # updates) and reads back a single [E, 22] plan, so the stitch loop
+    # dispatches composites/blends with no per-edge host-device round trip.
+    # False = the incremental per-edge loop (streaming-style).
+    planned: bool = True
     # exact_canvas=True (default) composites/blends at the reference's exact
     # canvas size — one compile per distinct canvas shape (parity mode).
     # False pads each canvas up to canvas_bucket multiples for the blend and

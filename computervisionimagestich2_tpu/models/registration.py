@@ -55,6 +55,92 @@ def register_edge(feats_src: Features, feats_dst: Features,
     return forward, backward, jnp.maximum(n_s2d, n_d2s)
 
 
+def update_features_by_warp(feats: Features, coeffs: jnp.ndarray,
+                            offset_x, offset_y,
+                            model: str = "bilinear") -> Features:
+    """updateFeaturesByHomography (ImageProcess.cpp:622-631)."""
+    from ..ops.warp import warp_points
+
+    xw, yw = warp_points(coeffs, feats.xy[:, 0], feats.xy[:, 1], model)
+    xy = jnp.stack([xw - offset_x, yw - offset_y], axis=-1)
+    return feats._replace(xy=xy)
+
+
+def update_features_by_offset(feats: Features, offset_x, offset_y) -> Features:
+    """updateFeaturesByOffset (ImageProcess.cpp:633-640); offsets are the
+    int-truncated canvas mins at the call site (cpp:227)."""
+    xy = feats.xy - jnp.stack([offset_x, offset_y])[None, :]
+    return feats._replace(xy=xy)
+
+
+def _canvas_bounds(fwd: jnp.ndarray, w_src: int, h_src: int,
+                   cur_w, cur_h, model: str):
+    """Device form of compose.canvas_plan (getMin/Max*AfterWarping +
+    clamps, ImageProcess.cpp:206-216, 532-594)."""
+    from ..ops.warp import warp_points
+
+    xs = jnp.asarray([0.0, w_src - 1.0, 0.0, w_src - 1.0], jnp.float32)
+    ys = jnp.asarray([0.0, 0.0, h_src - 1.0, h_src - 1.0], jnp.float32)
+    xw, yw = warp_points(fwd, xs, ys, model)
+    min_x = jnp.minimum(jnp.min(xw), 0.0)
+    min_y = jnp.minimum(jnp.min(yw), 0.0)
+    max_x = jnp.maximum(jnp.max(xw), cur_w)
+    max_y = jnp.maximum(jnp.max(yw), cur_h)
+    return min_x, min_y, jnp.ceil(max_x - min_x), jnp.ceil(max_y - min_y)
+
+
+PLAN_ROW = 22  # fwd(9) + bwd(9) + [min_x, min_y, new_w, new_h]
+
+
+@partial(jax.jit, static_argnames=("cfg", "img_hw", "start_hw"))
+def plan_edges(feats_stacked: Features, edges: jnp.ndarray,
+               img_hw: tuple[int, int], start_hw: tuple[int, int],
+               cfg: StitchConfig) -> jnp.ndarray:
+    """Register EVERY stitch edge in one device program.
+
+    The reference's stitch loop re-syncs with the host per edge (matching,
+    RANSAC, canvas sizing, feature bookkeeping — ImageProcess.cpp:176-227);
+    behind an RPC tunnel each sync costs ~tens of ms. This runs the whole
+    chain as one ``lax.scan``: per edge it matches, solves both RANSAC
+    directions, computes canvas-bound scalars, and applies the feature
+    coordinate updates (dst by forward+offset, pre by int-truncated offset,
+    cpp:226-227) — then the host reads back ONE [E, 22] plan and dispatches
+    composites/blends with no further synchronization.
+
+    feats_stacked: Features with leading image axis [N, CAP, ...].
+    edges: [E, 3] int32 rows (src, dst, pre) in BFS order.
+    img_hw: per-image (H, W) (uniform shapes); start_hw: the start image's.
+    Returns [E, 22] rows: fwd(9), bwd(9), min_x, min_y, new_w, new_h.
+    """
+    h_img, w_img = img_hw
+
+    def pad9(c):
+        return jnp.pad(c, (0, 9 - c.shape[0]))
+
+    def body(carry, edge):
+        feats, cur_w, cur_h = carry
+        src, dst, pre = edge[0], edge[1], edge[2]
+        f_src = jax.tree.map(lambda a: a[src], feats)
+        f_dst = jax.tree.map(lambda a: a[dst], feats)
+        fwd, bwd, _ = register_edge(f_src, f_dst, cfg)
+        min_x, min_y, new_w, new_h = _canvas_bounds(
+            fwd, w_img, h_img, cur_w, cur_h, cfg.warp_model)
+        f_dst = update_features_by_warp(f_dst, fwd, min_x, min_y,
+                                        cfg.warp_model)
+        feats = jax.tree.map(lambda a, n: a.at[dst].set(n), feats, f_dst)
+        f_pre = jax.tree.map(lambda a: a[pre], feats)
+        f_pre = update_features_by_offset(f_pre, jnp.trunc(min_x),
+                                          jnp.trunc(min_y))
+        feats = jax.tree.map(lambda a, n: a.at[pre].set(n), feats, f_pre)
+        row = jnp.concatenate([pad9(fwd), pad9(bwd),
+                               jnp.stack([min_x, min_y, new_w, new_h])])
+        return (feats, new_w, new_h), row
+
+    init = (feats_stacked, jnp.float32(start_hw[1]), jnp.float32(start_hw[0]))
+    _, rows = jax.lax.scan(body, init, edges)
+    return rows
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def all_pairs_match_counts(desc: jnp.ndarray, valid: jnp.ndarray,
                            cfg: StitchConfig) -> jnp.ndarray:

@@ -208,6 +208,43 @@ class Stitcher:
                                    cfg.blend.blur_sigma)
         return trunc_u8(blended[:new_h, :new_w]), dst_i
 
+    def _stitch_planned(self, result, projected, edge_seq):
+        """Planned stitch: ONE device program registers every edge
+        (registration.plan_edges), ONE readback returns the [E, 22] plan,
+        then all composites/blends dispatch with no further host syncs —
+        the per-edge RPC round trips of the incremental loop disappear."""
+        from .registration import plan_edges
+
+        cfg = self.config
+        start = edge_seq[0][2] if edge_seq else 0
+        img_hw = tuple(projected[edge_seq[0][1]].shape[:2])
+        start_hw = tuple(result.shape[:2])
+        edges = jnp.asarray(np.asarray(edge_seq, np.int32))
+        plan = np.asarray(plan_edges(self._feats_stacked, edges, img_hw,
+                                     start_hw, cfg))
+
+        n_coef = 9 if cfg.warp_model == "projective" else 8
+        for k, (src_i, dst_i, pre_i) in enumerate(edge_seq):
+            bwd = jnp.asarray(plan[k, 9:9 + n_coef])
+            min_x, min_y = float(plan[k, 18]), float(plan[k, 19])
+            new_w, new_h = int(plan[k, 20]), int(plan[k, 21])
+            if cfg.exact_canvas:
+                comp_hw = (new_h, new_w)
+            else:
+                comp_hw = (compose.bucket_size(new_h, cfg.canvas_bucket),
+                           compose.bucket_size(new_w, cfg.canvas_bucket))
+            a, b = compose.composite(projected[dst_i], result, bwd,
+                                     min_x, min_y, comp_hw, cfg.warp_model)
+            if cfg.blend.gain_compensation:
+                from .gain import gain_compensate
+
+                a = gain_compensate(a, b)
+            blended = blend_two_images(a, b, cfg.blend.level_mode,
+                                       cfg.blend.blur_sigma)
+            result = trunc_u8(blended[:new_h, :new_w])
+            obs.log("edge", src=src_i, dst=dst_i, canvas=(new_h, new_w))
+        return result
+
     # ----------------------------------------------------------------- main
     def stitch(self, images: Sequence[np.ndarray]) -> np.ndarray:
         """Full pipeline (ImageProcess ctor + matching). Returns the final
@@ -234,10 +271,9 @@ class Stitcher:
         # BFS stitch loop (ImageProcess.cpp:149-236)
         with self._timer.stage("stitching"), obs.trace("stitching"):
             neighbors = [[j for j in range(n) if adj[i][j]] for i in range(n)]
-            result = projected[start]
+            edge_seq = []
             pre = start
             queue = deque([start])
-            edge_models = []
             while queue:
                 src_i = queue.popleft()
                 for dst_i in reversed(neighbors[src_i]):
@@ -245,8 +281,17 @@ class Stitcher:
                         continue
                     adj[src_i][dst_i] = adj[dst_i][src_i] = False
                     queue.append(dst_i)
-                    result, pre = self._stitch_edge(result, feats, projected,
-                                                    src_i, dst_i, pre)
+                    edge_seq.append((src_i, dst_i, pre))
+                    pre = dst_i
+
+            result = projected[start]
+            if (cfg.planned and edge_seq
+                    and getattr(self, "_feats_stacked", None) is not None):
+                result = self._stitch_planned(result, projected, edge_seq)
+            else:
+                for src_i, dst_i, pre_i in edge_seq:
+                    result, _ = self._stitch_edge(result, feats, projected,
+                                                  src_i, dst_i, pre_i)
                     obs.log("edge", src=src_i, dst=dst_i,
                             canvas=result.shape[:2])
             jax.block_until_ready(result)

@@ -97,3 +97,17 @@ def test_compat_api(tmp_path, rng):
 
     tr = transfer(left, right)
     assert tr.shape == left.shape
+
+
+def test_planned_matches_incremental(rng):
+    """planned=True (single-program edge registration, registration.plan_edges)
+    must produce byte-identical output to the incremental per-edge loop."""
+    scene = make_scene(rng)
+    left = scene[:, :140]
+    right = scene[:, 60:]
+    cfg_p = dataclasses.replace(SMALL, ordering="chain", planned=True)
+    cfg_i = dataclasses.replace(SMALL, ordering="chain", planned=False)
+    out_p = Stitcher(cfg_p).stitch([left, right])
+    out_i = Stitcher(cfg_i).stitch([left, right])
+    assert out_p.shape == out_i.shape
+    np.testing.assert_array_equal(out_p, out_i)
