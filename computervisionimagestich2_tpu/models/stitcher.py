@@ -65,6 +65,29 @@ def _update_features_by_offset(feats: Features, offset_x, offset_y) -> Features:
     return feats._replace(xy=xy)
 
 
+@partial(jax.jit, static_argnames=("comp_hw", "out_hw", "cfg"))
+def _composite_and_blend(proj_dst, result, bwd, min_x, min_y,
+                         comp_hw: tuple[int, int], out_hw: tuple[int, int],
+                         cfg: StitchConfig):
+    """One fused per-edge device program: inverse warp + offset copy +
+    (optional gain) + Laplacian blend + u8 truncation + crop. A single
+    dispatch per edge — per-call RPC latency through the tunnel costs more
+    than the compute at these sizes."""
+    from ..ops.warp import shift_image, warp_image
+
+    a = warp_image(proj_dst, bwd, min_x, min_y, out_shape=comp_hw,
+                   model=cfg.warp_model)
+    b = shift_image(result, min_x.astype(jnp.int32), min_y.astype(jnp.int32),
+                    out_shape=comp_hw)
+    if cfg.blend.gain_compensation:
+        from .gain import gain_compensate
+
+        a = gain_compensate(a, b)
+    blended = blend_two_images(a, b, cfg.blend.level_mode,
+                               cfg.blend.blur_sigma)
+    return trunc_u8(blended[:out_hw[0], :out_hw[1]])
+
+
 class Stitcher:
     """Panorama stitcher with the reference's semantics and a TPU-native
     execution plan."""
@@ -90,12 +113,26 @@ class Stitcher:
         cfg = self.config
         shapes = {np.asarray(img).shape for img in images}
         if len(shapes) == 1:
-            from ..parallel.batched import batched_project_and_extract
+            from ..parallel.batched import (_project_and_extract_one,
+                                            _project_and_extract_vmapped)
+            from .sift import _pallas_enabled
 
             # upload u8 (4x less tunnel/PCIe traffic), convert on device
+            # inside the per-image program (no whole-batch f32 materialize)
             batch_u8 = jnp.asarray(np.stack([np.asarray(i) for i in images]))
-            feats_stacked, proj_stacked = batched_project_and_extract(
-                batch_u8.astype(jnp.float32), cfg)
+            if _pallas_enabled(cfg.sift):
+                # B pipelined dispatches of one compiled per-image program
+                # (the Pallas keypoint walks don't vmap); per-image outputs
+                # come out directly — no re-slicing dispatches
+                outs = [_project_and_extract_one(batch_u8[i], cfg)
+                        for i in range(len(images))]
+                feats = [o[0] for o in outs]
+                projected = [o[1] for o in outs]
+                self._feats_stacked = jax.tree.map(
+                    lambda *xs: jnp.stack(xs), *feats)
+                return projected, feats
+            feats_stacked, proj_stacked = _project_and_extract_vmapped(
+                batch_u8, cfg)
             self._feats_stacked = feats_stacked
             feats = [jax.tree.map(lambda x, i=i: x[i], feats_stacked)
                      for i in range(len(images))]
@@ -233,15 +270,10 @@ class Stitcher:
             else:
                 comp_hw = (compose.bucket_size(new_h, cfg.canvas_bucket),
                            compose.bucket_size(new_w, cfg.canvas_bucket))
-            a, b = compose.composite(projected[dst_i], result, bwd,
-                                     min_x, min_y, comp_hw, cfg.warp_model)
-            if cfg.blend.gain_compensation:
-                from .gain import gain_compensate
-
-                a = gain_compensate(a, b)
-            blended = blend_two_images(a, b, cfg.blend.level_mode,
-                                       cfg.blend.blur_sigma)
-            result = trunc_u8(blended[:new_h, :new_w])
+            result = _composite_and_blend(
+                projected[dst_i], result, bwd,
+                jnp.float32(min_x), jnp.float32(min_y), comp_hw,
+                (new_h, new_w), cfg)
             obs.log("edge", src=src_i, dst=dst_i, canvas=(new_h, new_w))
         return result
 

@@ -55,7 +55,8 @@ def batched_pairwise_register(gray_a: jnp.ndarray, gray_b: jnp.ndarray,
 @partial(jax.jit, static_argnames=("cfg",))
 def _project_and_extract_one(image: jnp.ndarray,
                              cfg: StitchConfig = DEFAULT_CONFIG):
-    proj = cylindrical_project(image, cfg.projection.angle_deg)
+    proj = cylindrical_project(image.astype(jnp.float32),
+                               cfg.projection.angle_deg)
     return sift_extract(to_gray(proj), cfg.sift), proj
 
 
