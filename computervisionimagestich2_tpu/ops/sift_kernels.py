@@ -239,14 +239,21 @@ def polar_gradient(levels: jnp.ndarray) -> jnp.ndarray:
     one-sided at the borders — exactly np.gradient's scheme.
     """
     src = levels
-    gx_mid = 0.5 * (src[:, :, 2:] - src[:, :, :-2])
-    gx = jnp.concatenate([
-        (src[:, :, 1:2] - src[:, :, 0:1]), gx_mid,
-        (src[:, :, -1:] - src[:, :, -2:-1])], axis=2)
-    gy_mid = 0.5 * (src[:, 2:, :] - src[:, :-2, :])
-    gy = jnp.concatenate([
-        (src[:, 1:2, :] - src[:, 0:1, :]), gy_mid,
-        (src[:, -1:, :] - src[:, -2:-1, :])], axis=1)
+    l, h, w = src.shape
+    # edge-replicated +-1 shifts; central diff inside, and the border
+    # columns/rows get doubled (edge-pad makes 0.5*(x1-x0) = half the
+    # one-sided difference). Pad+mask instead of lane-axis concatenation —
+    # concat along the minor (lane) dim forces vector relayouts on TPU.
+    xp = jnp.pad(src[:, :, 1:], ((0, 0), (0, 0), (0, 1)), mode="edge")
+    xm = jnp.pad(src[:, :, :-1], ((0, 0), (0, 0), (1, 0)), mode="edge")
+    yp = jnp.pad(src[:, 1:, :], ((0, 0), (0, 1), (0, 0)), mode="edge")
+    ym = jnp.pad(src[:, :-1, :], ((0, 0), (1, 0), (0, 0)), mode="edge")
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, 1, w), 2)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (1, h, 1), 1)
+    fx = jnp.where((cols == 0) | (cols == w - 1), 1.0, 0.5)
+    fy = jnp.where((rows == 0) | (rows == h - 1), 1.0, 0.5)
+    gx = fx * (xp - xm)
+    gy = fy * (yp - ym)
     mod = jnp.sqrt(gx * gx + gy * gy)
     ang = jnp.mod(jnp.arctan2(gy, gx) + TWO_PI, TWO_PI)
     return jnp.stack([mod, ang], axis=-1)
