@@ -76,6 +76,100 @@ def trunc_u8(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.clip(jnp.trunc(x), 0.0, 255.0)
 
 
+def _cyl_portrait_banded(img: jnp.ndarray, angle_deg: float) -> jnp.ndarray:
+    """Portrait-orientation cylindrical projection without point gathers.
+
+    The backward map is separable: the source column depends only on the
+    output column (x tables are trace-time constants), and the source row is
+    linear in the output row with a per-column slope. Point gathers run at
+    ~9 ns/element on TPU; this formulation replaces them with
+    (a) a 0/1-weighted column-selection matmul on the MXU (exact — unit
+    weights survive the bf16x3 decomposition bit-exactly), and
+    (b) a statically-banded row lerp: per 128-row chunk, the integer row
+    offsets span a small range known at trace time, so each candidate is a
+    static slice + masked FMA. ~10x faster than the gather form at 1080p.
+    """
+    h, w = img.shape[0], img.shape[1]
+    half_w = w // 2
+    half_h = h // 2
+    tan_val = math.tan(angle_deg * math.pi / 180.0)
+    r = (w / 2.0) / tan_val
+
+    import numpy as np
+
+    jcol = np.arange(w, dtype=np.float64)
+    dst_x = jcol - half_w
+    k_np = r / np.sqrt(r * r + dst_x * dst_x)
+    sx_np = (dst_x / k_np + half_w).astype(np.float32)
+    x0_np = np.clip(np.floor(sx_np), 0, w - 1).astype(np.int32)
+    x1_np = np.clip(np.minimum(np.ceil(sx_np), w - 1), 0, w - 1).astype(np.int32)
+
+    # device-side row field (f32, identical formula to the reference)
+    kj = jnp.asarray(k_np.astype(np.float32))[None, :]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    dst_y = (rows - half_h).astype(jnp.float32)
+    sy = dst_y / kj + half_h
+    sxj = jnp.asarray(sx_np)[None, :]
+    valid = (sxj >= 0) & (sxj < w) & (sy >= 0) & (sy < h)
+
+    y0 = jnp.floor(sy)
+    ay = (sy - y0)[..., None]
+    y0c = jnp.clip(y0, 0, h - 1).astype(jnp.int32)
+    y1c = jnp.minimum(jnp.ceil(sy), h - 1).astype(jnp.int32)
+    y1c = jnp.maximum(y1c, 0)
+
+    # column selection: G[:, v] = img[:, x0[v]] via [W, W] unit matmuls
+    cols_u = jax.lax.broadcasted_iota(jnp.int32, (w, w), 0)
+    s0 = (cols_u == jnp.asarray(x0_np)[None, :]).astype(jnp.float32)
+    s1 = (cols_u == jnp.asarray(x1_np)[None, :]).astype(jnp.float32)
+    img_fold = jnp.moveaxis(img, -1, 0).reshape(-1, w)      # [C*H, W]
+    g0 = jnp.dot(img_fold, s0, precision=jax.lax.Precision.HIGHEST)
+    g1 = jnp.dot(img_fold, s1, precision=jax.lax.Precision.HIGHEST)
+    c = img.shape[2]
+    g0 = jnp.moveaxis(g0.reshape(c, h, w), 0, -1)           # [H, W, C]
+    g1 = jnp.moveaxis(g1.reshape(c, h, w), 0, -1)
+
+    # static band of integer row offsets per row chunk
+    f = 1.0 / k_np                                           # [W] >= 1
+    fmax = float(f.max())
+    chunk = 128
+    i_all = np.arange(h, dtype=np.float64)
+    dev = (fmax - 1.0) * (i_all - half_h)                    # max |sy - i|
+    lo_all = np.floor(np.minimum(dev, 0.0)).astype(int)
+    hi_all = np.ceil(np.maximum(dev, 0.0)).astype(int)
+    pad_t = int(-lo_all.min()) + 1
+    pad_b = int(hi_all.max()) + 2
+    g0p = jnp.pad(g0, ((pad_t, pad_b), (0, 0), (0, 0)))
+    g1p = jnp.pad(g1, ((pad_t, pad_b), (0, 0), (0, 0)))
+
+    out_chunks = []
+    for i0 in range(0, h, chunk):
+        i1 = min(i0 + chunk, h)
+        dlo = int(lo_all[i0:i1].min())
+        dhi = int(hi_all[i0:i1].max()) + 1   # +1: the y1 = y0+1 candidate
+        rows_c = rows[i0:i1]
+        y0_c, y1_c, ay_c = y0c[i0:i1], y1c[i0:i1], ay[i0:i1]
+        acc0 = jnp.zeros((i1 - i0, w, c), jnp.float32)
+        acc1 = jnp.zeros((i1 - i0, w, c), jnp.float32)
+        for d in range(dlo, dhi + 1):
+            wgt = (jnp.where(y0_c - rows_c == d, 1.0, 0.0) * (1.0 - ay_c[..., 0])
+                   + jnp.where(y1_c - rows_c == d, 1.0, 0.0) * ay_c[..., 0])
+            wgt = wgt[..., None]
+            sl0 = jax.lax.slice_in_dim(g0p, i0 + d + pad_t,
+                                       i1 + d + pad_t, axis=0)
+            sl1 = jax.lax.slice_in_dim(g1p, i0 + d + pad_t,
+                                       i1 + d + pad_t, axis=0)
+            acc0 = acc0 + wgt * sl0
+            acc1 = acc1 + wgt * sl1
+        out_chunks.append((acc0, acc1))
+    v0 = jnp.concatenate([a for a, _ in out_chunks], axis=0)
+    v1 = jnp.concatenate([b for _, b in out_chunks], axis=0)
+
+    ax = (sxj - jnp.floor(sxj))[..., None]
+    out = trunc_u8(v0 * (1.0 - ax) + v1 * ax)
+    return jnp.where(valid[..., None], out, 0.0)
+
+
 @partial(jax.jit, static_argnames=("angle_deg",))
 def cylindrical_project(img: jnp.ndarray, angle_deg: float = 15.0) -> jnp.ndarray:
     """Cylindrical projection, backward map (Projection.cpp:20-73).
@@ -109,8 +203,43 @@ def cylindrical_project(img: jnp.ndarray, angle_deg: float = 15.0) -> jnp.ndarra
     sy = dst_y / k + half_h
 
     if flag:
-        # bounds use (sx in [0, src_h), sy in [0, src_w)); sample at
-        # (x=sy, y=sx) — Projection.cpp:41-45
+        # landscape = the reference's swapped-axes branch
+        # (Projection.cpp:24,41-45): identical to running the portrait map
+        # on the transposed image and transposing back
+        return jnp.transpose(
+            _cyl_portrait_banded(jnp.transpose(img, (1, 0, 2)), angle_deg),
+            (1, 0, 2))
+    return _cyl_portrait_banded(img, angle_deg)
+
+
+def _cylindrical_project_gather(img: jnp.ndarray,
+                                angle_deg: float = 15.0) -> jnp.ndarray:
+    """Direct gather-based form (the reference's per-pixel loop, verbatim);
+    kept as the oracle for the banded fast path."""
+    src_h, src_w = img.shape[0], img.shape[1]
+    flag = src_w > src_h
+    width = src_h if flag else src_w
+    height = src_w if flag else src_h
+    half_w = width // 2
+    half_h = height // 2
+    tan_val = math.tan(angle_deg * math.pi / 180.0)
+    r = (width / 2.0) / tan_val
+
+    ys = jax.lax.broadcasted_iota(jnp.int32, (src_h, src_w), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (src_h, src_w), 1)
+
+    if flag:
+        dst_x = (ys - half_w).astype(jnp.float32)
+        dst_y = (xs - half_h).astype(jnp.float32)
+    else:
+        dst_x = (xs - half_w).astype(jnp.float32)
+        dst_y = (ys - half_h).astype(jnp.float32)
+
+    k = r / jnp.sqrt(r * r + dst_x * dst_x)
+    sx = dst_x / k + half_w
+    sy = dst_y / k + half_h
+
+    if flag:
         valid = (sx >= 0) & (sx < src_h) & (sy >= 0) & (sy < src_w)
         sample_x, sample_y = sy, sx
     else:
