@@ -65,18 +65,24 @@ def _update_features_by_offset(feats: Features, offset_x, offset_y) -> Features:
     return feats._replace(xy=xy)
 
 
-@partial(jax.jit, static_argnames=("comp_hw", "out_hw", "cfg"))
+@partial(jax.jit, static_argnames=("comp_hw", "out_hw", "cfg", "warp_bands"))
 def _composite_and_blend(proj_dst, result, bwd, min_x, min_y,
                          comp_hw: tuple[int, int], out_hw: tuple[int, int],
-                         cfg: StitchConfig):
+                         cfg: StitchConfig,
+                         warp_bands: tuple[int, int] | None = None):
     """One fused per-edge device program: inverse warp + offset copy +
     (optional gain) + Laplacian blend + u8 truncation + crop. A single
     dispatch per edge — per-call RPC latency through the tunnel costs more
-    than the compute at these sizes."""
-    from ..ops.warp import shift_image, warp_image
+    than the compute at these sizes. ``warp_bands`` (host-validated via
+    ops.warp.banded_warp_params) selects the gather-free banded warp."""
+    from ..ops.warp import shift_image, warp_image, warp_image_banded
 
-    a = warp_image(proj_dst, bwd, min_x, min_y, out_shape=comp_hw,
-                   model=cfg.warp_model)
+    if warp_bands is not None:
+        a = warp_image_banded(proj_dst, bwd, min_x, min_y, comp_hw,
+                              warp_bands[0], warp_bands[1])
+    else:
+        a = warp_image(proj_dst, bwd, min_x, min_y, out_shape=comp_hw,
+                       model=cfg.warp_model)
     b = shift_image(result, min_x.astype(jnp.int32), min_y.astype(jnp.int32),
                     out_shape=comp_hw)
     if cfg.blend.gain_compensation:
@@ -117,20 +123,23 @@ class Stitcher:
                                             _project_and_extract_vmapped)
             from .sift import _pallas_enabled
 
-            # upload u8 (4x less tunnel/PCIe traffic), convert on device
-            # inside the per-image program (no whole-batch f32 materialize)
-            batch_u8 = jnp.asarray(np.stack([np.asarray(i) for i in images]))
             if _pallas_enabled(cfg.sift):
                 # B pipelined dispatches of one compiled per-image program
-                # (the Pallas keypoint walks don't vmap); per-image outputs
-                # come out directly — no re-slicing dispatches
-                outs = [_project_and_extract_one(batch_u8[i], cfg)
-                        for i in range(len(images))]
+                # (the Pallas keypoint walks don't vmap). Per-image u8
+                # uploads interleave with the dispatches so the host link
+                # transfers image i+1 while the chip runs SIFT on image i.
+                outs = []
+                for img in images:
+                    dev = jnp.asarray(np.ascontiguousarray(np.asarray(img)))
+                    outs.append(_project_and_extract_one(dev, cfg))
                 feats = [o[0] for o in outs]
                 projected = [o[1] for o in outs]
                 self._feats_stacked = jax.tree.map(
                     lambda *xs: jnp.stack(xs), *feats)
                 return projected, feats
+            # upload u8 (4x less tunnel/PCIe traffic), convert on device
+            # inside the per-image program (no whole-batch f32 materialize)
+            batch_u8 = jnp.asarray(np.stack([np.asarray(i) for i in images]))
             feats_stacked, proj_stacked = _project_and_extract_vmapped(
                 batch_u8, cfg)
             self._feats_stacked = feats_stacked
@@ -270,10 +279,16 @@ class Stitcher:
             else:
                 comp_hw = (compose.bucket_size(new_h, cfg.canvas_bucket),
                            compose.bucket_size(new_w, cfg.canvas_bucket))
+            from ..ops.warp import banded_warp_params
+
+            bands = banded_warp_params(plan[k, 9:9 + n_coef], comp_hw,
+                                       min_x, min_y,
+                                       projected[dst_i].shape[:2],
+                                       cfg.warp_model)
             result = _composite_and_blend(
                 projected[dst_i], result, bwd,
                 jnp.float32(min_x), jnp.float32(min_y), comp_hw,
-                (new_h, new_w), cfg)
+                (new_h, new_w), cfg, bands)
             obs.log("edge", src=src_i, dst=dst_i, canvas=(new_h, new_w))
         return result
 

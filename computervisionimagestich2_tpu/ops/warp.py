@@ -343,3 +343,122 @@ def shift_image(src: jnp.ndarray, offset_x: jnp.ndarray, offset_y: jnp.ndarray,
     ny_c = jnp.clip(ny, 0, src_h - 1)
     vals = src[ny_c, nx_c]
     return jnp.where(valid[..., None], vals, out)
+
+
+# --------------------------------------------------------- banded warp path
+def banded_warp_params(coeffs, out_shape, offset_x: float, offset_y: float,
+                       src_shape, model: str = "bilinear", tile: int = 128,
+                       buckets=(2, 4, 8, 16)):
+    """Host-side planner for :func:`warp_image_banded`.
+
+    Checks, per output tile, that the warp's deviation from a pure
+    row/column translation stays within a small static band (the bilinear
+    warp is bilinear in (x, y), so per-tile extrema sit on tile corners).
+    Returns (dy, dx) bucketed band sizes, or None when the warp is too
+    distorted for the banded kernel (caller falls back to the gather form).
+    """
+    import numpy as np
+
+    if model != "bilinear":
+        return None
+    c = np.asarray(coeffs, np.float64)
+    h_out, w_out = out_shape
+    nti = -(-h_out // tile)
+    ntj = -(-w_out // tile)
+    i0 = np.arange(nti) * tile
+    j0 = np.arange(ntj) * tile
+    # tile corner coordinates [nti, ntj, 4]
+    ys = (i0[:, None, None] + np.array([0, 0, tile - 1, tile - 1])
+          + offset_y)
+    xs = (j0[None, :, None] + np.array([0, tile - 1, 0, tile - 1])
+          + offset_x)
+    ys = np.broadcast_to(ys, (nti, ntj, 4))
+    xs = np.broadcast_to(xs, (nti, ntj, 4))
+    xw = c[0] * xs + c[1] * ys + c[2] * xs * ys + c[3]
+    yw = c[4] * xs + c[5] * ys + c[6] * xs * ys + c[7]
+    # deviation from the per-tile translation predictor
+    ri = ys - ys[..., :1]
+    rj = xs - xs[..., :1]
+    dev_y = (yw - ri) - (yw - ri).min(-1, keepdims=True)
+    dev_x = (xw - rj) - (xw - rj).min(-1, keepdims=True)
+    need_y = float(dev_y.max()) + 2.0   # trunc + corner-margin slack
+    need_x = float(dev_x.max()) + 2.0
+    for by in buckets:
+        if need_y <= by:
+            break
+    else:
+        return None
+    for bx in buckets:
+        if need_x <= bx:
+            break
+    else:
+        return None
+    return int(by), int(bx)
+
+
+@partial(jax.jit, static_argnames=("out_shape", "dy", "dx", "tile"))
+def warp_image_banded(src: jnp.ndarray, coeffs: jnp.ndarray,
+                      offset_x: jnp.ndarray, offset_y: jnp.ndarray,
+                      out_shape: tuple[int, int], dy: int, dx: int,
+                      tile: int = 128) -> jnp.ndarray:
+    """Gather-free :func:`warp_image` for near-translation bilinear warps.
+
+    Point gathers run at ~9 ns/element on TPU. For panorama edges the warp
+    deviates from a translation by only a few pixels per 128x128 tile, so
+    each output tile reads one dynamically-offset [T+dy, T+dx] source
+    window and reduces over (dy+1)*(dx+1) statically-shifted masked
+    copies — pure VPU selects, ~50x less time than the gather. Host must
+    validate the band via :func:`banded_warp_params`. Semantics are
+    identical to warp_image (trunc-to-int nearest read, zero canvas).
+    """
+    h_out, w_out = out_shape
+    src_h, src_w, nch = src.shape
+    t = tile
+    pad = t + max(dy, dx)
+    # channels-first: [C, H, W] keeps the tile minor dims VPU-shaped
+    src_cf = jnp.moveaxis(src, -1, 0)
+    src_pad = jnp.pad(src_cf, ((0, 0), (pad, pad), (pad, pad)))
+    nti = -(-h_out // t)
+    ntj = -(-w_out // t)
+
+    ii = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
+
+    def one_tile(_, idx):
+        i0 = idx[0] * t
+        j0 = idx[1] * t
+        ys = (ii + i0).astype(jnp.float32) + offset_y
+        xs = (jj + j0).astype(jnp.float32) + offset_x
+        xw, yw = warp_xy(coeffs, xs, ys)
+        nx = jnp.trunc(xw).astype(jnp.int32)
+        ny = jnp.trunc(yw).astype(jnp.int32)
+        valid = (nx >= 0) & (nx < src_w) & (ny >= 0) & (ny < src_h)
+
+        # anchor of the per-tile translation predictor ny ~ ii + const:
+        # minimizing (ny - ii) keeps del_y in [0, dy] for any local scale
+        ny_min = jnp.min(ny - ii)
+        nx_min = jnp.min(nx - jj)
+        base_y = jnp.clip(ny_min + pad, 0, src_pad.shape[1] - (t + dy))
+        base_x = jnp.clip(nx_min + pad, 0, src_pad.shape[2] - (t + dx))
+        s = jax.lax.dynamic_slice(
+            src_pad, (0, base_y, base_x), (nch, t + dy, t + dx))
+
+        del_y = ny + pad - base_y - ii
+        del_x = nx + pad - base_x - jj
+        out_t = jnp.zeros((nch, t, t), jnp.float32)
+        for d in range(dy + 1):
+            rm = valid & (del_y == d)
+            srow = jax.lax.slice_in_dim(s, d, d + t, axis=1)
+            for e in range(dx + 1):
+                m = rm & (del_x == e)
+                se = jax.lax.slice_in_dim(srow, e, e + t, axis=2)
+                out_t = out_t + jnp.where(m[None], se, 0.0)
+        return _, out_t
+
+    idxs = jnp.stack(jnp.meshgrid(jnp.arange(nti), jnp.arange(ntj),
+                                  indexing="ij"), axis=-1).reshape(-1, 2)
+    _, tiles = jax.lax.scan(one_tile, 0, idxs)
+    out = tiles.reshape(nti, ntj, nch, t, t)
+    out = jnp.moveaxis(out, 2, 4)                 # [nti, ntj, t, t, C]
+    out = out.transpose(0, 2, 1, 3, 4).reshape(nti * t, ntj * t, nch)
+    return out[:h_out, :w_out]

@@ -290,3 +290,58 @@ def test_solve_warp_least_squares_matches_numpy(rng):
         + expect_y[2] * probe[:, 0] * probe[:, 1] + expect_y[3]
     np.testing.assert_allclose(np.asarray(gx), ex, atol=0.1)
     np.testing.assert_allclose(np.asarray(gy), ey, atol=0.1)
+
+
+def test_banded_projection_matches_gather_oracle(rng):
+    """The banded fast path (MXU column select + static row bands) must
+    match the direct gather form within one u8 step (interpolation
+    rounding-order only), both orientations."""
+    import jax.numpy as jnp
+
+    from computervisionimagestich2_tpu.ops.warp import (
+        _cylindrical_project_gather, cylindrical_project)
+
+    for h, w in [(140, 100), (100, 140)]:
+        src = (rng.uniform(0, 255, (h, w, 3))).astype(np.float32)
+        fast = np.asarray(cylindrical_project(jnp.asarray(src), 15.0))
+        ref = np.asarray(_cylindrical_project_gather(jnp.asarray(src), 15.0))
+        diff = np.abs(fast - ref)
+        assert diff.max() <= 1.0
+        assert (diff > 0).mean() < 1e-3
+
+
+def test_banded_warp_matches_gather(rng):
+    """warp_image_banded must be bit-identical to warp_image whenever the
+    host planner accepts the warp."""
+    import jax.numpy as jnp
+
+    from computervisionimagestich2_tpu.ops.warp import (
+        banded_warp_params, warp_image, warp_image_banded)
+
+    src = jnp.asarray(rng.uniform(0, 255, (150, 220, 3)).astype(np.float32))
+    for c in [
+        np.array([1.002, 0.012, 1e-6, -70.0, 0.01, 0.998, -1e-6, 8.0],
+                 np.float32),
+        np.array([0.96, -0.03, 2e-6, 30.0, 0.02, 1.04, 1e-6, -15.0],
+                 np.float32),
+    ]:
+        ox, oy = -40.0, -10.0
+        out_shape = (200, 300)
+        bands = banded_warp_params(c, out_shape, ox, oy, src.shape[:2])
+        assert bands is not None
+        ref = np.asarray(warp_image(src, jnp.asarray(c), jnp.float32(ox),
+                                    jnp.float32(oy), out_shape=out_shape))
+        got = np.asarray(warp_image_banded(src, jnp.asarray(c),
+                                           jnp.float32(ox), jnp.float32(oy),
+                                           out_shape, *bands))
+        np.testing.assert_array_equal(ref, got)
+
+
+def test_banded_warp_planner_rejects_wild_warps():
+    from computervisionimagestich2_tpu.ops.warp import banded_warp_params
+
+    spin = np.array([0.0, -1.0, 0.0, 200.0, 1.0, 0.0, 0.0, 0.0], np.float32)
+    assert banded_warp_params(spin, (256, 256), 0.0, 0.0, (200, 200)) is None
+    proj = np.ones(9, np.float32)
+    assert banded_warp_params(proj, (256, 256), 0.0, 0.0, (200, 200),
+                              model="projective") is None
