@@ -53,16 +53,22 @@ def extrema_mask(dog: jnp.ndarray, peak_thresh: float) -> jnp.ndarray:
     Slice s of the output corresponds to dog level s+1.
     """
     v = dog[1:-1]
+    n_s, h, w = dog.shape
     gate = 0.8 * peak_thresh
     is_max = v >= gate
     is_min = v <= -gate
+    # padded static slices instead of rolls: a roll lowers to two slices +
+    # a minor-dim concat (vector relayout); one pad + 26 slices fuses into
+    # a single stencil loop
+    padded = jnp.pad(dog, ((0, 0), (1, 1), (1, 1)))
     for ds in (-1, 0, 1):
-        block = dog[1 + ds: dog.shape[0] - 1 + ds]
         for dy in (-1, 0, 1):
             for dx in (-1, 0, 1):
                 if ds == 0 and dy == 0 and dx == 0:
                     continue
-                nb = jnp.roll(block, shift=(-dy, -dx), axis=(1, 2))
+                nb = jax.lax.slice(
+                    padded, (1 + ds, 1 + dy, 1 + dx),
+                    (n_s - 1 + ds, 1 + dy + h, 1 + dx + w))
                 is_max = is_max & (v > nb)
                 is_min = is_min & (v < nb)
     mask = is_max | is_min
@@ -88,8 +94,13 @@ def compact_mask(mask: jnp.ndarray, capacity: int):
 
 
 def _shift2(a: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
-    """a[(s), y+dy, x+dx] with zero fill — valid for interior use only."""
-    return jnp.roll(a, shift=(-dy, -dx), axis=(-2, -1))
+    """a[(s), y+dy, x+dx] with zero fill — valid for interior use only.
+    Pad + static slice (rolls force minor-dim concats)."""
+    h, w = a.shape[-2], a.shape[-1]
+    padded = jnp.pad(a, [(0, 0)] * (a.ndim - 2) + [(1, 1), (1, 1)])
+    start = [0] * (a.ndim - 2) + [1 + dy, 1 + dx]
+    limit = list(a.shape[:-2]) + [1 + dy + h, 1 + dx + w]
+    return jax.lax.slice(padded, start, limit)
 
 
 def _solve3_gauss(a_mat: jnp.ndarray, b_vec: jnp.ndarray):
