@@ -108,6 +108,10 @@ class BlendConfig:
     """Multi-band Laplacian blend (ImageProcess.cpp:648-773)."""
 
     blur_sigma: float = 2.0       # get_blur(2,...), ImageProcess.cpp:709
+    # "fir": separable FIR Gaussian (fast default, within blend tolerance);
+    # "vanvliet": CImg's exact recursive filter + Triggs boundaries
+    # (get_blur(2,true,true)) — bit-faithful parity mode, slower.
+    blur_impl: str = "fir"
     # root variant: levels = floor(log2(max(w,h))) (ImageProcess.cpp:675-676)
     # ex6 variant:  levels = floor(log2(min(w,h))) (src/ex6/ImageProcess.cpp:662-665)
     level_mode: str = "max"       # "max" (root) | "min" (ex6)

@@ -25,12 +25,24 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..ops.gaussian import gaussian_blur
+from ..ops.gaussian import gaussian_blur, vanvliet_blur
 from ..ops.resize import cimg_resize
 
 
-def _blur_hwc(img: jnp.ndarray, sigma: float) -> jnp.ndarray:
-    """Blur [H, W, C] (or [H, W]) along H and W only, like CImg blur."""
+def _blur_hwc(img: jnp.ndarray, sigma: float,
+              impl: str = "fir") -> jnp.ndarray:
+    """Blur [H, W, C] (or [H, W]) along H and W only, like CImg blur.
+
+    impl="fir": separable FIR Gaussian (fast default, within blend
+    tolerance). impl="vanvliet": CImg's exact recursive Van Vliet filter
+    with Triggs boundaries (get_blur(2,true,true), ImageProcess.cpp:709) —
+    bit-faithful parity mode, ~several times slower (associative scans).
+    """
+    if impl == "vanvliet":
+        if img.ndim == 2:
+            return vanvliet_blur(img, sigma)
+        moved = jnp.moveaxis(img, -1, 0)
+        return jnp.moveaxis(vanvliet_blur(moved, sigma), 0, -1)
     if img.ndim == 2:
         return gaussian_blur(img, sigma)
     moved = jnp.moveaxis(img, -1, 0)
@@ -42,10 +54,11 @@ def n_levels(h: int, w: int, mode: str = "max") -> int:
     return int(math.floor(math.log2(ext)))
 
 
-@partial(jax.jit, static_argnames=("level_mode", "blur_sigma"))
+@partial(jax.jit, static_argnames=("level_mode", "blur_sigma", "blur_impl"))
 def blend_two_images(a: jnp.ndarray, b: jnp.ndarray,
                      level_mode: str = "max",
-                     blur_sigma: float = 2.0) -> jnp.ndarray:
+                     blur_sigma: float = 2.0,
+                     blur_impl: str = "fir") -> jnp.ndarray:
     """Blend canvas a (new warped image) over b (previous result).
 
     a, b: [H, W, 3] float32 (u8 values). Returns the blended float canvas
@@ -81,9 +94,9 @@ def blend_two_images(a: jnp.ndarray, b: jnp.ndarray,
         # resize to 0 — sane clamp instead)
         hp = max(a_pyr[-1].shape[0] // 2, 1)
         wp = max(a_pyr[-1].shape[1] // 2, 1)
-        a_pyr.append(cimg_resize(_blur_hwc(a_pyr[-1], blur_sigma), hp, wp))
-        b_pyr.append(cimg_resize(_blur_hwc(b_pyr[-1], blur_sigma), hp, wp))
-        m_pyr.append(cimg_resize(_blur_hwc(m_pyr[-1], blur_sigma), hp, wp))
+        a_pyr.append(cimg_resize(_blur_hwc(a_pyr[-1], blur_sigma, blur_impl), hp, wp))
+        b_pyr.append(cimg_resize(_blur_hwc(b_pyr[-1], blur_sigma, blur_impl), hp, wp))
+        m_pyr.append(cimg_resize(_blur_hwc(m_pyr[-1], blur_sigma, blur_impl), hp, wp))
 
     # -- laplacians (cpp:727-733)
     for i in range(levels - 1):

@@ -90,7 +90,8 @@ def _composite_and_blend(proj_dst, result, bwd, min_x, min_y,
 
         a = gain_compensate(a, b)
     blended = blend_two_images(a, b, cfg.blend.level_mode,
-                               cfg.blend.blur_sigma)
+                               cfg.blend.blur_sigma,
+                               cfg.blend.blur_impl)
     return trunc_u8(blended[:out_hw[0], :out_hw[1]])
 
 
@@ -251,7 +252,8 @@ class Stitcher:
             feats[pre_i], jnp.float32(int(min_x)), jnp.float32(int(min_y)))
 
         blended = blend_two_images(a, b, cfg.blend.level_mode,
-                                   cfg.blend.blur_sigma)
+                                   cfg.blend.blur_sigma,
+                                   cfg.blend.blur_impl)
         return trunc_u8(blended[:new_h, :new_w]), dst_i
 
     def _stitch_planned(self, result, projected, edge_seq):

@@ -87,7 +87,8 @@ class StreamingStitcher:
                                  min_x, min_y, (new_h, new_w),
                                  cfg.warp_model)
         blended = blend_two_images(a, b, cfg.blend.level_mode,
-                                   cfg.blend.blur_sigma)
+                                   cfg.blend.blur_sigma,
+                                   cfg.blend.blur_impl)
         self._result = trunc_u8(blended)
 
         # the new frame's features become the registration anchor

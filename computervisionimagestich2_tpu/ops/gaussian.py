@@ -70,3 +70,114 @@ def gaussian_blur(img: jnp.ndarray, sigma: float) -> jnp.ndarray:
     out = jnp.swapaxes(out, -1, -2)
     out = _conv1d_lastdim(out, taps)                 # along H (y)
     return jnp.swapaxes(out, -1, -2)
+
+
+# ------------------------------------------------------- Van Vliet (CImg)
+def _vanvliet_coefs(sigma: float):
+    """CImg's Van Vliet coefficients (CImg.h:35053-35065, doubles)."""
+    import numpy as np
+
+    nsigma = max(float(sigma), 0.5)
+    m0, m1, m2 = 1.16680, 1.10783, 1.40586
+    m1sq, m2sq = m1 * m1, m2 * m2
+    q = (-0.2568 + 0.5784 * nsigma + 0.0561 * nsigma * nsigma
+         if nsigma < 3.556 else 2.5091 + 0.9804 * (nsigma - 3.556))
+    qsq = q * q
+    scale = (m0 + q) * (m1sq + m2sq + 2 * m1 * q + qsq)
+    b1 = -q * (2 * m0 * m1 + m1sq + m2sq + (2 * m0 + 4 * m1) * q
+               + 3 * qsq) / scale
+    b2 = qsq * (m0 + 2 * m1 + 3 * q) / scale
+    b3 = -qsq * q / scale
+    big_b = (m0 * (m1sq + m2sq)) / scale
+    return np.float64(big_b), np.float64(-b1), np.float64(-b2), np.float64(-b3)
+
+
+def _triggs_matrix(f1, f2, f3):
+    """B. Triggs' boundary matrix (CImg.h:34893-34902)."""
+    import numpy as np
+
+    a1, a2, a3 = f1, f2, f3
+    scale_m = 1.0 / ((1.0 + a1 - a2 + a3) * (1.0 - a1 - a2 - a3)
+                     * (1.0 + a2 + (a1 - a3) * a3))
+    m = np.empty(9)
+    m[0] = scale_m * (-a3 * a1 + 1.0 - a3 * a3 - a2)
+    m[1] = scale_m * (a3 + a1) * (a2 + a3 * a1)
+    m[2] = scale_m * a3 * (a1 + a3 * a2)
+    m[3] = scale_m * (a1 + a3 * a2)
+    m[4] = -scale_m * (a2 - 1.0) * (a2 + a3 * a1)
+    m[5] = -scale_m * a3 * (a3 * a1 + a3 * a3 + a2 - 1.0)
+    m[6] = scale_m * (a3 * a1 + a2 + a1 * a1 - a2 * a2)
+    m[7] = scale_m * (a1 * a2 + a3 * a2 * a2 - a1 * a3 * a3
+                      - a3 * a3 * a3 - a3 * a2 + a3)
+    m[8] = scale_m * a3 * (a1 + a3 * a2)
+    return m
+
+
+def vanvliet_blur_axis(x: jnp.ndarray, sigma: float) -> jnp.ndarray:
+    """CImg vanvliet(sigma, order=0, boundary=Neumann) along the LAST axis
+    (CImg.h:34887-34933, 35045-35093) — forward IIR, Triggs right-boundary
+    correction, backward IIR. Matches the C double-precision loop to f32
+    tolerance."""
+    import numpy as np
+
+    if float(sigma) < 0.5:
+        return x
+    big_b, f1, f2, f3 = _vanvliet_coefs(sigma)
+    m = _triggs_matrix(f1, f2, f3)
+    sum_sq = big_b * big_b
+    a_np = np.array([[f1, f2, f3], [1, 0, 0], [0, 1, 0]], np.float32)
+    a_mat = jnp.asarray(a_np)
+    n = x.shape[-1]
+
+    # forward: v[n] = x[n] + f1 v[n-1] + ... ; v[<0] = x[0]/B
+    v_init = jnp.repeat(x[..., :1] / np.float32(big_b), 3, axis=-1)
+    v = _affine_scan_batched(x, a_mat, v_init)
+
+    # Triggs boundary at the right edge (CImg.h:34913-34921)
+    denom = np.float32(1.0 - f1 - f2 - f3)
+    uplus = x[..., -1] / denom
+    vplus = uplus / denom
+    unp = v[..., -1] - uplus
+    unp1 = v[..., -2] - uplus
+    unp2 = v[..., -3] - uplus
+    y_last = ((m[0] * unp + m[1] * unp1 + m[2] * unp2 + vplus)
+              * np.float32(sum_sq))
+    y_n = ((m[3] * unp + m[4] * unp1 + m[5] * unp2 + vplus)
+           * np.float32(sum_sq))
+    y_n1 = ((m[6] * unp + m[7] * unp1 + m[8] * unp2 + vplus)
+            * np.float32(sum_sq))
+
+    # backward: y[m] = B^2 v[m] + f1 y[m+1] + f2 y[m+2] + f3 y[m+3]
+    rev = jnp.flip(v[..., :-1] * np.float32(sum_sq), axis=-1)
+    y_init = jnp.stack([y_last, y_n, y_n1], axis=-1)
+    y_rev = _affine_scan_batched(rev, a_mat, y_init)
+    return jnp.concatenate(
+        [jnp.flip(y_rev, axis=-1), y_last[..., None]], axis=-1)
+
+
+def _affine_scan_batched(x_terms: jnp.ndarray, a_mat: jnp.ndarray,
+                         s_init: jnp.ndarray) -> jnp.ndarray:
+    """s[n] = A s[n-1] + e0 * x[n] for x [..., N], init [..., 3]."""
+    n = x_terms.shape[-1]
+    zeros = jnp.zeros_like(x_terms)
+    bs = jnp.stack([x_terms, zeros, zeros], axis=-1)          # [..., N, 3]
+    b0 = bs[..., 0, :] + jnp.einsum("ij,...j->...i", a_mat, s_init)
+    bs = bs.at[..., 0, :].set(b0)
+    a_all = jnp.broadcast_to(a_mat, x_terms.shape[:-1] + (n, 3, 3))
+
+    def combine(l, r):
+        a1, b1 = l
+        a2, b2 = r
+        return (a2 @ a1, jnp.einsum("...ij,...j->...i", a2, b1) + b2)
+
+    _, ss = jax.lax.associative_scan(combine, (a_all, bs), axis=-3)
+    return ss[..., 0]
+
+
+def vanvliet_blur(img: jnp.ndarray, sigma: float) -> jnp.ndarray:
+    """CImg get_blur(sigma, true, true): vanvliet along x then y
+    (CImg.h:35113-35116). img: [..., H, W]."""
+    out = vanvliet_blur_axis(img, sigma)
+    out = jnp.swapaxes(
+        vanvliet_blur_axis(jnp.swapaxes(out, -1, -2), sigma), -1, -2)
+    return out
