@@ -79,7 +79,8 @@ def _composite_and_blend(proj_dst, result, bwd, min_x, min_y,
 
     if warp_bands is not None:
         a = warp_image_banded(proj_dst, bwd, min_x, min_y, comp_hw,
-                              warp_bands[0], warp_bands[1])
+                              warp_bands[0], warp_bands[1],
+                              model=cfg.warp_model)
     else:
         a = warp_image(proj_dst, bwd, min_x, min_y, out_shape=comp_hw,
                        model=cfg.warp_model)

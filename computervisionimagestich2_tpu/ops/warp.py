@@ -359,23 +359,36 @@ def banded_warp_params(coeffs, out_shape, offset_x: float, offset_y: float,
     """
     import numpy as np
 
-    if model != "bilinear":
-        return None
     c = np.asarray(coeffs, np.float64)
     h_out, w_out = out_shape
     nti = -(-h_out // tile)
     ntj = -(-w_out // tile)
     i0 = np.arange(nti) * tile
     j0 = np.arange(ntj) * tile
-    # tile corner coordinates [nti, ntj, 4]
-    ys = (i0[:, None, None] + np.array([0, 0, tile - 1, tile - 1])
-          + offset_y)
-    xs = (j0[None, :, None] + np.array([0, tile - 1, 0, tile - 1])
-          + offset_x)
-    ys = np.broadcast_to(ys, (nti, ntj, 4))
-    xs = np.broadcast_to(xs, (nti, ntj, 4))
-    xw = c[0] * xs + c[1] * ys + c[2] * xs * ys + c[3]
-    yw = c[4] * xs + c[5] * ys + c[6] * xs * ys + c[7]
+    if model == "bilinear":
+        # bilinear in (x, y): per-tile extrema sit on the 4 corners
+        off_i = np.array([0, 0, tile - 1, tile - 1])
+        off_j = np.array([0, tile - 1, 0, tile - 1])
+    elif model == "projective":
+        # rational map: extrema need not be at corners — sample a 5x5 grid
+        # per tile (the deviation field is smooth; +2 slack covers the rest)
+        g = np.linspace(0, tile - 1, 5)
+        off_i, off_j = map(np.ravel, np.meshgrid(g, g, indexing="ij"))
+    else:
+        return None
+    ys = (i0[:, None, None] + off_i[None, None, :] + offset_y)
+    xs = (j0[None, :, None] + off_j[None, None, :] + offset_x)
+    ys = np.broadcast_to(ys, (nti, ntj, len(off_i)))
+    xs = np.broadcast_to(xs, (nti, ntj, len(off_j)))
+    if model == "bilinear":
+        xw = c[0] * xs + c[1] * ys + c[2] * xs * ys + c[3]
+        yw = c[4] * xs + c[5] * ys + c[6] * xs * ys + c[7]
+    else:
+        den = c[6] * xs + c[7] * ys + c[8]
+        if np.any(np.abs(den) < 1e-8) or (np.any(den > 0) and np.any(den < 0)):
+            return None   # horizon crosses the canvas: fall back to gather
+        xw = (c[0] * xs + c[1] * ys + c[2]) / den
+        yw = (c[3] * xs + c[4] * ys + c[5]) / den
     # deviation from the per-tile translation predictor
     ri = ys - ys[..., :1]
     rj = xs - xs[..., :1]
@@ -396,11 +409,12 @@ def banded_warp_params(coeffs, out_shape, offset_x: float, offset_y: float,
     return int(by), int(bx)
 
 
-@partial(jax.jit, static_argnames=("out_shape", "dy", "dx", "tile"))
+@partial(jax.jit, static_argnames=("out_shape", "dy", "dx", "tile",
+                                   "model"))
 def warp_image_banded(src: jnp.ndarray, coeffs: jnp.ndarray,
                       offset_x: jnp.ndarray, offset_y: jnp.ndarray,
                       out_shape: tuple[int, int], dy: int, dx: int,
-                      tile: int = 128) -> jnp.ndarray:
+                      tile: int = 128, model: str = "bilinear") -> jnp.ndarray:
     """Gather-free :func:`warp_image` for near-translation bilinear warps.
 
     Point gathers run at ~9 ns/element on TPU. For panorama edges the warp
@@ -429,7 +443,7 @@ def warp_image_banded(src: jnp.ndarray, coeffs: jnp.ndarray,
         j0 = idx[1] * t
         ys = (ii + i0).astype(jnp.float32) + offset_y
         xs = (jj + j0).astype(jnp.float32) + offset_x
-        xw, yw = warp_xy(coeffs, xs, ys)
+        xw, yw = warp_points(coeffs, xs, ys, model)
         nx = jnp.trunc(xw).astype(jnp.int32)
         ny = jnp.trunc(yw).astype(jnp.int32)
         valid = (nx >= 0) & (nx < src_w) & (ny >= 0) & (ny < src_h)
