@@ -154,11 +154,19 @@ def all_pairs_match_counts(desc: jnp.ndarray, valid: jnp.ndarray,
     from ..ops.distance import ratio_match
 
     n = desc.shape[0]
+    # scan over the ordered-pair list with gathered operands: the matcher
+    # body (a Pallas kernel on TPU) compiles ONCE and runs P times — a
+    # vmap here would need the Pallas batching rule, and an unrolled loop
+    # would compile P copies
+    pairs = jnp.asarray([(i, j) for i in range(n) for j in range(n)
+                         if i != j], jnp.int32)
 
-    def count_one(i, j):
+    def body(_, pair):
+        i, j = pair[0], pair[1]
         ok, _ = ratio_match(desc[j], desc[i], valid[j], valid[i],
                             cfg.match.ratio_threshold, cfg.match.distance)
-        return jnp.where(i == j, 0, jnp.sum(ok.astype(jnp.int32)))
+        return _, jnp.sum(ok.astype(jnp.int32))
 
-    ii = jnp.arange(n)
-    return jax.vmap(lambda i: jax.vmap(lambda j: count_one(i, j))(ii))(ii)
+    _, counts = jax.lax.scan(body, 0, pairs)
+    out = jnp.zeros((n, n), jnp.int32)
+    return out.at[pairs[:, 0], pairs[:, 1]].set(counts)
