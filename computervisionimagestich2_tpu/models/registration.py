@@ -161,12 +161,12 @@ def all_pairs_match_counts(desc: jnp.ndarray, valid: jnp.ndarray,
     pairs = jnp.asarray([(i, j) for i in range(n) for j in range(n)
                          if i != j], jnp.int32)
 
-    def body(_, pair):
+    def body(carry, pair):
         i, j = pair[0], pair[1]
         ok, _ = ratio_match(desc[j], desc[i], valid[j], valid[i],
                             cfg.match.ratio_threshold, cfg.match.distance)
-        return _, jnp.sum(ok.astype(jnp.int32))
+        return carry, jnp.sum(ok.astype(jnp.int32))
 
-    _, counts = jax.lax.scan(body, 0, pairs)
+    _, counts = jax.lax.scan(body, jnp.int32(0), pairs)
     out = jnp.zeros((n, n), jnp.int32)
     return out.at[pairs[:, 0], pairs[:, 1]].set(counts)
