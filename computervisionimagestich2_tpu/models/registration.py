@@ -144,12 +144,13 @@ def plan_edges(feats_stacked: Features, edges: jnp.ndarray,
 @partial(jax.jit, static_argnames=("cfg",))
 def all_pairs_match_counts(desc: jnp.ndarray, valid: jnp.ndarray,
                            cfg: StitchConfig) -> jnp.ndarray:
-    """Match counts for every ordered image pair in one program.
+    """Match counts for every unordered image pair in one program.
 
     desc: [N, CAP, 128] stacked descriptors; valid: [N, CAP].
-    Returns [N, N] counts with count[i, j] = |getImgPair(i, j)| for i != j
+    Returns [N, N] counts with count[i, j] = |getImgPair(i, j)| for i < j
     (queries = j's descriptors against i's reference set,
-    ImageProcess.cpp:117-137). The diagonal is 0.
+    ImageProcess.cpp:117-137); the lower triangle and diagonal are 0 —
+    the reference mirrors stichingMat from the i < j pair too.
     """
     from ..ops.distance import ratio_match
 
@@ -158,8 +159,11 @@ def all_pairs_match_counts(desc: jnp.ndarray, valid: jnp.ndarray,
     # body (a Pallas kernel on TPU) compiles ONCE and runs P times — a
     # vmap here would need the Pallas batching rule, and an unrolled loop
     # would compile P copies
+    # the stitchability graph is symmetric via the i<j counts
+    # (ImageProcess.cpp:131-137 fills stichingMat[j][i] from pair(i, j)),
+    # so only the upper triangle is computed
     pairs = jnp.asarray([(i, j) for i in range(n) for j in range(n)
-                         if i != j], jnp.int32)
+                         if i < j], jnp.int32)
 
     def body(carry, pair):
         i, j = pair[0], pair[1]
