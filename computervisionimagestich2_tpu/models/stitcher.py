@@ -3,22 +3,28 @@
 Equivalent of class ImageProcess (/root/reference/ImageProcess.cpp), re-built
 as a host orchestrator driving jit-compiled device stages:
 
-  per image:  cylindrical projection -> u8 luma -> SIFT        (device)
+  per image:  cylindrical projection -> u8 luma -> SIFT        (device;
+              per-image u8 uploads pipelined against the dispatches)
   ordering:   match-graph discovery (root variant,
               ImageProcess.cpp:101-147) or pre-ordered chain
               (src/ex6/ImageProcess.cpp:150-159)               (host logic,
-              device match counts)
-  per edge:   exact ratio matching x2, vmapped RANSAC x2,
-              canvas plan (host scalars), warp + shift
-              composite, Laplacian blend                        (device)
+              device match counts, one readback)
+  edges:      planned mode (default): ONE scanned device program
+              registers every edge (matching x2, RANSAC x2, canvas
+              bounds, feature updates — registration.plan_edges) and the
+              host reads back a single [E, 22] plan; then one fused
+              composite+blend dispatch per edge (banded gather-free warp
+              when the plan admits it). Incremental mode keeps the
+              reference's per-edge host loop (streaming-style).
   tail:       histogram equalization + YCbCr luma mix           (device)
 
-Control crosses the host/device boundary once per stitch edge (SURVEY.md §3
-"process/device boundaries"). The reference's per-edge feature-coordinate
-bookkeeping — update the newly warped image's features by forward_H+offset
-and the *previous* stitched image's by offset only (ImageProcess.cpp:226-227,
-the pre-chaining that exactly covers BFS-from-middle chains) — is reproduced
-faithfully.
+In planned mode control crosses the host/device boundary a constant number
+of times per panorama (upload, ordering counts, plan, final readback) —
+not per edge (SURVEY.md §3 "process/device boundaries"). The reference's
+per-edge feature-coordinate bookkeeping — update the newly warped image's
+features by forward_H+offset and the *previous* stitched image's by offset
+only (ImageProcess.cpp:226-227, the pre-chaining that exactly covers
+BFS-from-middle chains) — is reproduced faithfully in both modes.
 """
 from __future__ import annotations
 
@@ -115,8 +121,11 @@ class Stitcher:
         """Project + SIFT for each input image (readFile,
         ImageProcess.cpp:11-24). Returns (projected f32 arrays, Features).
 
-        Uniform-shape batches run as ONE vmapped device program — the true
-        parallelism the reference's create-then-join threads only attempted
+        Uniform-shape batches run either as pipelined dispatches of ONE
+        compiled per-image program (Pallas keypoint-walk path: uploads
+        overlap compute, live-count-sized kernels) or as one vmapped
+        program (CPU/mesh paths) — the true parallelism the reference's
+        create-then-join threads only attempted
         (src/ex6/ImageProcess.cpp:44-50)."""
         cfg = self.config
         shapes = {np.asarray(img).shape for img in images}
