@@ -85,29 +85,29 @@ def blend_two_images(a: jnp.ndarray, b: jnp.ndarray,
     mask0 = jnp.broadcast_to(mask_row[None, :], (h, w))
 
     # -- gaussian pyramids (cpp:705-715)
-    a_pyr = [a]
-    b_pyr = [b]
-    m_pyr = [mask0]
+    # a, b, mask stacked along channels: blur/resize are per-channel
+    # independent, so one 7-channel chain computes the identical values
+    # with a third of the op-chain (and better VPU utilization)
+    s_pyr = [jnp.concatenate([a, b, mask0[..., None]], axis=-1)]
     for i in range(1, levels):
         # clamp to >= 1: with max-dim level counts a narrow canvas would hit
         # size 0 (the reference's root variant would crash there; CImg can't
         # resize to 0 — sane clamp instead)
-        hp = max(a_pyr[-1].shape[0] // 2, 1)
-        wp = max(a_pyr[-1].shape[1] // 2, 1)
-        a_pyr.append(cimg_resize(_blur_hwc(a_pyr[-1], blur_sigma, blur_impl), hp, wp))
-        b_pyr.append(cimg_resize(_blur_hwc(b_pyr[-1], blur_sigma, blur_impl), hp, wp))
-        m_pyr.append(cimg_resize(_blur_hwc(m_pyr[-1], blur_sigma, blur_impl), hp, wp))
+        hp = max(s_pyr[-1].shape[0] // 2, 1)
+        wp = max(s_pyr[-1].shape[1] // 2, 1)
+        s_pyr.append(cimg_resize(_blur_hwc(s_pyr[-1], blur_sigma, blur_impl),
+                                 hp, wp))
 
-    # -- laplacians (cpp:727-733)
-    for i in range(levels - 1):
-        hp, wp = a_pyr[i].shape[0], a_pyr[i].shape[1]
-        a_pyr[i] = a_pyr[i] - cimg_resize(a_pyr[i + 1], hp, wp)
-        b_pyr[i] = b_pyr[i] - cimg_resize(b_pyr[i + 1], hp, wp)
-
-    # -- masked lerp per level (cpp:744-753)
-    blend_pyr = [a_pyr[i] * m_pyr[i][..., None]
-                 + b_pyr[i] * (1.0 - m_pyr[i][..., None])
-                 for i in range(levels)]
+    # -- laplacians (cpp:727-733) + masked lerp per level (cpp:744-753)
+    blend_pyr = []
+    for i in range(levels):
+        ab = s_pyr[i][..., :6]
+        if i < levels - 1:
+            hp, wp = ab.shape[0], ab.shape[1]
+            ab = ab - cimg_resize(s_pyr[i + 1][..., :6], hp, wp)
+        m = s_pyr[i][..., 6]
+        blend_pyr.append(ab[..., :3] * m[..., None]
+                         + ab[..., 3:6] * (1.0 - m[..., None]))
 
     # -- reconstruct with per-level clamp (cpp:762-771)
     expand = blend_pyr[-1]
