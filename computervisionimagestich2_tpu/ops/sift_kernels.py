@@ -55,22 +55,26 @@ def extrema_mask(dog: jnp.ndarray, peak_thresh: float) -> jnp.ndarray:
     v = dog[1:-1]
     n_s, h, w = dog.shape
     gate = 0.8 * peak_thresh
-    is_max = v >= gate
-    is_min = v <= -gate
-    # padded static slices instead of rolls: a roll lowers to two slices +
-    # a minor-dim concat (vector relayout); one pad + 26 slices fuses into
-    # a single stencil loop
-    padded = jnp.pad(dog, ((0, 0), (1, 1), (1, 1)))
-    for ds in (-1, 0, 1):
-        for dy in (-1, 0, 1):
-            for dx in (-1, 0, 1):
-                if ds == 0 and dy == 0 and dx == 0:
-                    continue
-                nb = jax.lax.slice(
-                    padded, (1 + ds, 1 + dy, 1 + dx),
-                    (n_s - 1 + ds, 1 + dy + h, 1 + dx + w))
-                is_max = is_max & (v > nb)
-                is_min = is_min & (v < nb)
+
+    # separable min/max pooling: the 26-neighbor extremum reduces to ~20
+    # two-input min/max passes instead of 52 compare+and passes. The
+    # excluding-center in-plane reduction is max(row above, row below,
+    # left, right) where rows use the 3-wide x-pool.
+    def shifted(a, dy, dx):
+        padded = jnp.pad(a, ((0, 0), (1, 1), (1, 1)))
+        return jax.lax.slice(padded, (0, 1 + dy, 1 + dx),
+                             (a.shape[0], 1 + dy + h, 1 + dx + w))
+
+    def pools(f):
+        p3x = f(f(shifted(dog, 0, -1), dog), shifted(dog, 0, 1))
+        p3xy = f(f(shifted(p3x, -1, 0), p3x), shifted(p3x, 1, 0))
+        p3x_c = p3x[1:-1]
+        inplane = f(f(shifted(p3x_c, -1, 0), shifted(p3x_c, 1, 0)),
+                    f(shifted(v, 0, -1), shifted(v, 0, 1)))
+        return f(f(inplane, p3xy[:-2]), p3xy[2:])
+
+    is_max = (v >= gate) & (v > pools(jnp.maximum))
+    is_min = (v <= -gate) & (v < pools(jnp.minimum))
     mask = is_max | is_min
     # zero the 1-pixel border (the reference never scans it)
     h, w = mask.shape[1], mask.shape[2]
