@@ -73,6 +73,11 @@ class MatchConfig:
     distance: str = "l1"          # VlDistanceL1, ImageProcess.cpp:280
     pair_threshold: int = 20      # THRESHOLD (min matches to stitch), ImageProcess.h:18
     max_matches: int = 2048       # static capacity for match pairs
+    # 2-NN backend: "auto" uses the Pallas VMEM-resident kernel
+    # (ops/pallas_distance.py) on TPU, XLA elsewhere; "on"/"off" force a
+    # choice. The Pallas kernel does not vmap — batch paths that vmap the
+    # matcher (parallel/batched.py) must set "off".
+    pallas: str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)

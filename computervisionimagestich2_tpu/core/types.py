@@ -61,18 +61,29 @@ class MatchPairs(NamedTuple):
 
     src_xy, dst_xy: [MAX_M, 2] float32; valid: [MAX_M] bool.
     Mirrors vector<ImgPair> (ImageProcess.h:43-47).
+
+    n_raw (optional scalar int32): the UNCAPPED ratio-test hit count.
+    count() saturates at the static capacity, so overflow() > 0 flags
+    truncation that would otherwise be silent.
     """
 
     src_xy: jnp.ndarray
     dst_xy: jnp.ndarray
     valid: jnp.ndarray
+    n_raw: jnp.ndarray | None = None
 
     def count(self) -> jnp.ndarray:
         return jnp.sum(self.valid.astype(jnp.int32))
 
+    def overflow(self) -> jnp.ndarray:
+        """Matches dropped by the static capacity (0 when n_raw unknown)."""
+        if self.n_raw is None:
+            return jnp.int32(0)
+        return jnp.maximum(self.n_raw - self.valid.shape[0], 0)
+
     def swapped(self) -> "MatchPairs":
         """Reverse direction (ImageProcess.cpp:185-198)."""
-        return MatchPairs(self.dst_xy, self.src_xy, self.valid)
+        return MatchPairs(self.dst_xy, self.src_xy, self.valid, self.n_raw)
 
 
 jax.tree_util.register_pytree_node(

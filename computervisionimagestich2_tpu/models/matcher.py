@@ -24,33 +24,37 @@ from ..ops import distance as dist_ops
 from ..ops.compaction import compact_indices
 
 
-@partial(jax.jit, static_argnames=("ratio", "distance", "max_matches"))
+@partial(jax.jit, static_argnames=("ratio", "distance", "max_matches",
+                                   "pallas"))
 def match_features(feats_a: Features, feats_b: Features,
                    ratio: float = 0.5, distance: str = "l1",
-                   max_matches: int = 2048) -> MatchPairs:
+                   max_matches: int = 2048,
+                   pallas: str = "auto") -> MatchPairs:
     """Pairs with src = A's keypoint, dst = B's keypoint (the reference's
     ImgPair(left, right) order, ImageProcess.cpp:341)."""
     ok, idx_a = dist_ops.ratio_match(
         feats_b.desc, feats_a.desc, feats_b.valid, feats_a.valid,
-        ratio, distance)
+        ratio, distance, pallas)
     sel, valid = compact_indices(ok, max_matches)
     src_xy = feats_a.xy[idx_a[sel]]
     dst_xy = feats_b.xy[sel]
-    return MatchPairs(src_xy=src_xy, dst_xy=dst_xy, valid=valid)
+    return MatchPairs(src_xy=src_xy, dst_xy=dst_xy, valid=valid,
+                      n_raw=jnp.sum(ok.astype(jnp.int32)))
 
 
-@partial(jax.jit, static_argnames=("ratio", "distance"))
+@partial(jax.jit, static_argnames=("ratio", "distance", "pallas"))
 def match_count(feats_a: Features, feats_b: Features,
-                ratio: float = 0.5, distance: str = "l1") -> jnp.ndarray:
+                ratio: float = 0.5, distance: str = "l1",
+                pallas: str = "auto") -> jnp.ndarray:
     """Number of ratio-test matches (the match-graph edge weight,
     ImageProcess.cpp:131-135)."""
     ok, _ = dist_ops.ratio_match(
         feats_b.desc, feats_a.desc, feats_b.valid, feats_a.valid,
-        ratio, distance)
+        ratio, distance, pallas)
     return jnp.sum(ok.astype(jnp.int32))
 
 
 def match_config_call(feats_a: Features, feats_b: Features,
                       cfg: MatchConfig) -> MatchPairs:
     return match_features(feats_a, feats_b, cfg.ratio_threshold,
-                          cfg.distance, cfg.max_matches)
+                          cfg.distance, cfg.max_matches, cfg.pallas)

@@ -25,17 +25,23 @@ from .ransac import ransac_warp
 
 @partial(jax.jit, static_argnames=("cfg",))
 def register_edge(feats_src: Features, feats_dst: Features,
-                  cfg: StitchConfig):
+                  cfg: StitchConfig, edge_id: jnp.ndarray | int = 0):
     """Returns (forward, backward, n_matches): forward maps dst-image coords
     into the src/result frame; backward maps canvas coords into dst-image
-    coords. n_matches is the larger direction's match count."""
+    coords. n_matches is the larger direction's match count.
+
+    edge_id decorrelates the RANSAC draws across edges (fold_in); each
+    direction additionally folds its own tag so forward/backward never share
+    sample indices. Deterministic across runs for a fixed seed."""
     mcfg = cfg.match
     s2d = match_features(feats_src, feats_dst, mcfg.ratio_threshold,
                          mcfg.distance, mcfg.max_matches)
     d2s = match_features(feats_dst, feats_src, mcfg.ratio_threshold,
                          mcfg.distance, mcfg.max_matches)
-    n_s2d = s2d.count()
-    n_d2s = d2s.count()
+    # direction choice on the UNCAPPED counts (the reference compares the
+    # full vector sizes, ImageProcess.cpp:185)
+    n_s2d = s2d.n_raw
+    n_d2s = d2s.n_raw
 
     use_s2d = n_s2d > n_d2s
 
@@ -45,14 +51,18 @@ def register_edge(feats_src: Features, feats_dst: Features,
     s2d_final = pick(s2d, d2s.swapped())
     d2s_final = pick(s2d.swapped(), d2s)
 
-    key = jax.random.PRNGKey(cfg.ransac.seed)
-    forward, _, _ = ransac_warp(d2s_final, key, cfg.ransac.n_hypotheses,
+    key = jax.random.fold_in(jax.random.PRNGKey(cfg.ransac.seed),
+                             jnp.asarray(edge_id, jnp.uint32))
+    key_fwd = jax.random.fold_in(key, 0)
+    key_bwd = jax.random.fold_in(key, 1)
+    forward, _, _ = ransac_warp(d2s_final, key_fwd, cfg.ransac.n_hypotheses,
                                 cfg.ransac.threshold, cfg.ransac.n_sample,
                                 cfg.warp_model)
-    backward, _, _ = ransac_warp(s2d_final, key, cfg.ransac.n_hypotheses,
+    backward, _, _ = ransac_warp(s2d_final, key_bwd, cfg.ransac.n_hypotheses,
                                  cfg.ransac.threshold, cfg.ransac.n_sample,
                                  cfg.warp_model)
-    return forward, backward, jnp.maximum(n_s2d, n_d2s)
+    return (forward, backward, jnp.maximum(n_s2d, n_d2s),
+            s2d_final.overflow())
 
 
 def update_features_by_warp(feats: Features, coeffs: jnp.ndarray,
@@ -89,7 +99,7 @@ def _canvas_bounds(fwd: jnp.ndarray, w_src: int, h_src: int,
     return min_x, min_y, jnp.ceil(max_x - min_x), jnp.ceil(max_y - min_y)
 
 
-PLAN_ROW = 22  # fwd(9) + bwd(9) + [min_x, min_y, new_w, new_h]
+PLAN_ROW = 23  # fwd(9) + bwd(9) + [min_x, min_y, new_w, new_h, overflow]
 
 
 @partial(jax.jit, static_argnames=("cfg", "img_hw", "start_hw"))
@@ -110,7 +120,8 @@ def plan_edges(feats_stacked: Features, edges: jnp.ndarray,
     feats_stacked: Features with leading image axis [N, CAP, ...].
     edges: [E, 3] int32 rows (src, dst, pre) in BFS order.
     img_hw: per-image (H, W) (uniform shapes); start_hw: the start image's.
-    Returns [E, 22] rows: fwd(9), bwd(9), min_x, min_y, new_w, new_h.
+    Returns [E, 23] rows: fwd(9), bwd(9), min_x, min_y, new_w, new_h,
+    match-capacity overflow count (telemetry; 0 = nothing truncated).
     """
     h_img, w_img = img_hw
 
@@ -122,7 +133,9 @@ def plan_edges(feats_stacked: Features, edges: jnp.ndarray,
         src, dst, pre = edge[0], edge[1], edge[2]
         f_src = jax.tree.map(lambda a: a[src], feats)
         f_dst = jax.tree.map(lambda a: a[dst], feats)
-        fwd, bwd, _ = register_edge(f_src, f_dst, cfg)
+        # (src, dst) is unique per edge -> distinct RANSAC draws per edge
+        fwd, bwd, _, ovf = register_edge(f_src, f_dst, cfg,
+                                         src * 65536 + dst)
         min_x, min_y, new_w, new_h = _canvas_bounds(
             fwd, w_img, h_img, cur_w, cur_h, cfg.warp_model)
         f_dst = update_features_by_warp(f_dst, fwd, min_x, min_y,
@@ -133,7 +146,8 @@ def plan_edges(feats_stacked: Features, edges: jnp.ndarray,
                                           jnp.trunc(min_y))
         feats = jax.tree.map(lambda a, n: a.at[pre].set(n), feats, f_pre)
         row = jnp.concatenate([pad9(fwd), pad9(bwd),
-                               jnp.stack([min_x, min_y, new_w, new_h])])
+                               jnp.stack([min_x, min_y, new_w, new_h,
+                                          ovf.astype(jnp.float32)])])
         return (feats, new_w, new_h), row
 
     init = (feats_stacked, jnp.float32(start_hw[1]), jnp.float32(start_hw[0]))
@@ -144,26 +158,30 @@ def plan_edges(feats_stacked: Features, edges: jnp.ndarray,
 @partial(jax.jit, static_argnames=("cfg",))
 def all_pairs_match_counts(desc: jnp.ndarray, valid: jnp.ndarray,
                            cfg: StitchConfig) -> jnp.ndarray:
-    """Match counts for every unordered image pair in one program.
+    """Match counts for every ORDERED image pair in one program.
 
     desc: [N, CAP, 128] stacked descriptors; valid: [N, CAP].
-    Returns [N, N] counts with count[i, j] = |getImgPair(i, j)| for i < j
-    (queries = j's descriptors against i's reference set,
-    ImageProcess.cpp:117-137); the lower triangle and diagonal are 0 —
-    the reference mirrors stichingMat from the i < j pair too.
+    Returns [N, N] counts with count[i, j] = |getImgPair(i, j)| (queries =
+    j's descriptors against i's reference set, ImageProcess.cpp:117-137);
+    the diagonal is 0. Both directions are computed because the reference's
+    graph is directional in the rare asymmetric case: stichingMat[j][i]
+    mirrors the i<j result only when THAT direction passed THRESHOLD —
+    otherwise the reverse direction is computed and can independently pass
+    (ImageProcess.cpp:125-135). Cost parity too: for failing pairs the
+    reference also computes both directions.
     """
     from ..ops.distance import ratio_match
 
     n = desc.shape[0]
+    if n <= 1:
+        # no pairs; a (0, 2)-shaped scan would slice 0-d elements
+        return jnp.zeros((n, n), jnp.int32)
     # scan over the ordered-pair list with gathered operands: the matcher
     # body (a Pallas kernel on TPU) compiles ONCE and runs P times — a
     # vmap here would need the Pallas batching rule, and an unrolled loop
     # would compile P copies
-    # the stitchability graph is symmetric via the i<j counts
-    # (ImageProcess.cpp:131-137 fills stichingMat[j][i] from pair(i, j)),
-    # so only the upper triangle is computed
     pairs = jnp.asarray([(i, j) for i in range(n) for j in range(n)
-                         if i < j], jnp.int32)
+                         if i != j], jnp.int32)
 
     def body(carry, pair):
         i, j = pair[0], pair[1]

@@ -101,6 +101,10 @@ def _process_octave(octave: jnp.ndarray, cfg: SiftConfig, octave_index: int):
     dog = sk.dog_stack(octave)
     mask = sk.extrema_mask(dog, cfg.peak_thresh)
     coords, cvalid = sk.compact_mask(mask, cap_cand)
+    # telemetry: candidates dropped by the static capacity (VERDICT r1 #8 —
+    # truncation must be reported, never silent)
+    n_cand = jnp.sum(mask.astype(jnp.int32))
+    cand_dropped = jnp.maximum(n_cand - cap_cand, 0)
     ok, x, y, sigma, lvl = sk.refine_keypoints(
         dog, coords, cvalid, w, h, cfg.peak_thresh, cfg.edge_thresh,
         cfg.s_min, cfg.s_max, xper, cfg.sigma0, cfg.n_levels)
@@ -114,9 +118,12 @@ def _process_octave(octave: jnp.ndarray, cfg: SiftConfig, octave_index: int):
     cap_l = max(128, (2 * cap_kp) // (cfg.n_levels + 1))
     use_pallas = _pallas_enabled(cfg)
     results = []
+    kp_dropped = jnp.int32(0)
+    desc_dropped = jnp.int32(0)
     for l in range(cfg.n_levels):
         sel = ok & (lvl == l)
         kp_idx, kp_valid = sk.compact_indices(sel, cap_l)
+        kp_dropped += jnp.maximum(jnp.sum(sel.astype(jnp.int32)) - cap_l, 0)
         xl, yl, sl = x[kp_idx], y[kp_idx], sigma[kp_idx]
 
         r_ori = sk.ori_patch_radius(cfg.sigma0, cfg.n_levels, cfg.s_max, l)
@@ -147,6 +154,8 @@ def _process_octave(octave: jnp.ndarray, cfg: SiftConfig, octave_index: int):
         ka_x, ka_y, ka_sigma = map(rep, (xl, yl, sl))
         ka_angle = angles.reshape(-1)
         da_idx, d_valid = sk.compact_indices(ka_valid, cap_d)
+        desc_dropped += jnp.maximum(
+            jnp.sum(ka_valid.astype(jnp.int32)) - cap_d, 0)
         d_x, d_y, d_sigma, d_angle = (
             ka_x[da_idx], ka_y[da_idx], ka_sigma[da_idx], ka_angle[da_idx])
 
@@ -178,17 +187,20 @@ def _process_octave(octave: jnp.ndarray, cfg: SiftConfig, octave_index: int):
     xy = jnp.concatenate([r[1] for r in results])
     sigmas = jnp.concatenate([r[2] for r in results])
     oks = jnp.concatenate([r[3] for r in results])
-    return desc, xy, sigmas, oks
+    stats = jnp.stack([cand_dropped, kp_dropped, desc_dropped])
+    return desc, xy, sigmas, oks, stats
 
 
 @partial(jax.jit, static_argnames=("cfg",))
-def sift_extract(gray: jnp.ndarray, cfg: SiftConfig = SiftConfig()) -> Features:
-    """Extract SIFT features from a grayscale image [H, W] float32 (0..255).
+def sift_extract_stats(gray: jnp.ndarray,
+                       cfg: SiftConfig = SiftConfig()):
+    """sift_extract plus capacity-overflow telemetry.
 
-    Equivalent of siftAlgorithm (ImageProcess.cpp:44-99): all octaves, up to
-    4 orientations per keypoint, one 128-d descriptor per orientation.
-    One jitted program end-to-end — a single dispatch with full XLA fusion
-    (fragmenting it into per-stage programs measured ~1.6x slower).
+    Returns (Features, stats) where stats is int32 [4]:
+    [candidates dropped, refined keypoints dropped, descriptors dropped,
+    final-capacity keypoints dropped] — all 0 on a healthy run. Static
+    capacities replace VLFeat's realloc'd buffers (vl/sift.c:580-590);
+    truncation is legal but must be visible (VERDICT r1 #8).
     """
     h, w = gray.shape
     first_sigma, _ = scale_space_sigmas(cfg)
@@ -209,8 +221,24 @@ def sift_extract(gray: jnp.ndarray, cfg: SiftConfig = SiftConfig()) -> Features:
     xy = jnp.concatenate([p[1] for p in per_octave])
     sigma = jnp.concatenate([p[2] for p in per_octave])
     valid = jnp.concatenate([p[3] for p in per_octave])
+    stats3 = sum(p[4] for p in per_octave)
 
     cap = cfg.max_keypoints
     idx, out_valid = sk.compact_indices(valid, cap)
-    return Features(desc=desc[idx], xy=xy[idx], scale=sigma[idx],
-                    valid=out_valid)
+    final_dropped = jnp.maximum(jnp.sum(valid.astype(jnp.int32)) - cap, 0)
+    feats = Features(desc=desc[idx], xy=xy[idx], scale=sigma[idx],
+                     valid=out_valid)
+    return feats, jnp.concatenate([stats3, final_dropped[None]])
+
+
+def sift_extract(gray: jnp.ndarray, cfg: SiftConfig = SiftConfig()) -> Features:
+    """Extract SIFT features from a grayscale image [H, W] float32 (0..255).
+
+    Equivalent of siftAlgorithm (ImageProcess.cpp:44-99): all octaves, up to
+    4 orientations per keypoint, one 128-d descriptor per orientation.
+    One jitted program end-to-end — a single dispatch with full XLA fusion
+    (fragmenting it into per-stage programs measured ~1.6x slower).
+    (Thin wrapper over sift_extract_stats; XLA dead-code-eliminates the
+    telemetry when the caller drops it.)
+    """
+    return sift_extract_stats(gray, cfg)[0]

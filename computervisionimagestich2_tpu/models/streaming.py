@@ -74,7 +74,13 @@ class StreamingStitcher:
             self._n_frames = 1
             return tuple(self._result.shape[:2])
 
-        forward, backward, n_matches = register_edge(self._feats, feats, cfg)
+        # per-frame edge id -> distinct RANSAC draws per frame
+        forward, backward, n_matches, ovf = register_edge(
+            self._feats, feats, cfg, self._n_frames)
+        if int(np.asarray(ovf)) > 0:
+            obs.warn("match_overflow", frame=self._n_frames,
+                    dropped=int(np.asarray(ovf)),
+                    capacity=cfg.match.max_matches)
         both = np.asarray(jnp.stack([forward, backward]))
 
         new_h, new_w, min_x, min_y = compose.canvas_plan(

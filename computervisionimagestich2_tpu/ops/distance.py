@@ -42,10 +42,21 @@ def pairwise_l2sq(qry: jnp.ndarray, ref: jnp.ndarray) -> jnp.ndarray:
     return jnp.maximum(qn + rn.T - 2.0 * cross, 0.0)
 
 
-@partial(jax.jit, static_argnames=("distance",))
+def _pallas_2nn_enabled(pallas: str) -> bool:
+    if pallas == "on":
+        return True
+    if pallas == "off":
+        return False
+    # "auto": Pallas when the DEFAULT backend is TPU. Computations placed on
+    # explicit non-default devices (e.g. the virtual CPU mesh) must pass
+    # pallas="off" — trace-time code cannot see where the jit will run.
+    return jax.default_backend() == "tpu"
+
+
+@partial(jax.jit, static_argnames=("distance", "pallas"))
 def two_nearest(qry: jnp.ndarray, ref: jnp.ndarray,
                 qry_valid: jnp.ndarray, ref_valid: jnp.ndarray,
-                distance: str = "l1"):
+                distance: str = "l1", pallas: str = "auto"):
     """For every query descriptor, its 2 nearest reference descriptors.
 
     Returns (d1, d2, i1): nearest distance, second distance, nearest index —
@@ -56,7 +67,7 @@ def two_nearest(qry: jnp.ndarray, ref: jnp.ndarray,
     (ops.pallas_distance), which keeps the distance block in VMEM and fuses
     the top-2; otherwise the XLA path below runs.
     """
-    if (distance == "l1" and jax.default_backend() == "tpu"
+    if (distance == "l1" and _pallas_2nn_enabled(pallas)
             and qry.shape[0] % 128 == 0 and ref.shape[0] % 128 == 0
             and qry.shape[1] == 128):
         from .pallas_distance import two_nearest_l1_pallas
@@ -79,16 +90,17 @@ def two_nearest(qry: jnp.ndarray, ref: jnp.ndarray,
     return d1, d2, i1
 
 
-@partial(jax.jit, static_argnames=("distance",))
+@partial(jax.jit, static_argnames=("distance", "pallas"))
 def ratio_match(qry: jnp.ndarray, ref: jnp.ndarray,
                 qry_valid: jnp.ndarray, ref_valid: jnp.ndarray,
-                ratio: float = 0.5, distance: str = "l1"):
+                ratio: float = 0.5, distance: str = "l1",
+                pallas: str = "auto"):
     """Lowe ratio test (ImageProcess.cpp:329-331): keep queries whose
     nearest/second distance ratio is < ratio.
 
     Returns (match_mask [NB], nearest_ref_index [NB]).
     """
-    d1, d2, i1 = two_nearest(qry, ref, qry_valid, ref_valid, distance)
+    d1, d2, i1 = two_nearest(qry, ref, qry_valid, ref_valid, distance, pallas)
     ok = (d1 / d2) < ratio
     ok = ok & qry_valid & (d2 < BIG)
     return ok, i1

@@ -133,13 +133,18 @@ def vanvliet_blur_axis(x: jnp.ndarray, sigma: float) -> jnp.ndarray:
     v_init = jnp.repeat(x[..., :1] / np.float32(big_b), 3, axis=-1)
     v = _affine_scan_batched(x, a_mat, v_init)
 
-    # Triggs boundary at the right edge (CImg.h:34913-34921)
+    # Triggs boundary at the right edge (CImg.h:34913-34921). The val[k]
+    # states after the forward pass are v[n-k] for k <= n; for shorter axes
+    # (n < 3) the missing states are the Neumann init x[0]/B itself
+    # (CImg.h:34910 "val[k] = *data/sumsq").
     denom = np.float32(1.0 - f1 - f2 - f3)
     uplus = x[..., -1] / denom
     vplus = uplus / denom
-    unp = v[..., -1] - uplus
-    unp1 = v[..., -2] - uplus
-    unp2 = v[..., -3] - uplus
+    states = [v[..., n - k] if k <= n else v_init[..., 0]
+              for k in (1, 2, 3)]
+    unp = states[0] - uplus
+    unp1 = states[1] - uplus
+    unp2 = states[2] - uplus
     y_last = ((m[0] * unp + m[1] * unp1 + m[2] * unp2 + vplus)
               * np.float32(sum_sq))
     y_n = ((m[3] * unp + m[4] * unp1 + m[5] * unp2 + vplus)
@@ -148,6 +153,9 @@ def vanvliet_blur_axis(x: jnp.ndarray, sigma: float) -> jnp.ndarray:
             * np.float32(sum_sq))
 
     # backward: y[m] = B^2 v[m] + f1 y[m+1] + f2 y[m+2] + f3 y[m+3]
+    if n == 1:
+        # the backward loop runs n-1 = 0 iterations (CImg.h:34922-34931)
+        return y_last[..., None]
     rev = jnp.flip(v[..., :-1] * np.float32(sum_sq), axis=-1)
     y_init = jnp.stack([y_last, y_n, y_n1], axis=-1)
     y_rev = _affine_scan_batched(rev, a_mat, y_init)
@@ -175,9 +183,13 @@ def _affine_scan_batched(x_terms: jnp.ndarray, a_mat: jnp.ndarray,
 
 
 def vanvliet_blur(img: jnp.ndarray, sigma: float) -> jnp.ndarray:
-    """CImg get_blur(sigma, true, true): vanvliet along x then y
+    """CImg get_blur(sigma, true, true): vanvliet along x then y, skipping
+    size-1 axes exactly like blur()'s _width>1/_height>1 guards
     (CImg.h:35113-35116). img: [..., H, W]."""
-    out = vanvliet_blur_axis(img, sigma)
-    out = jnp.swapaxes(
-        vanvliet_blur_axis(jnp.swapaxes(out, -1, -2), sigma), -1, -2)
+    out = img
+    if img.shape[-1] > 1:
+        out = vanvliet_blur_axis(out, sigma)
+    if img.shape[-2] > 1:
+        out = jnp.swapaxes(
+            vanvliet_blur_axis(jnp.swapaxes(out, -1, -2), sigma), -1, -2)
     return out

@@ -366,36 +366,52 @@ def banded_warp_params(coeffs, out_shape, offset_x: float, offset_y: float,
     i0 = np.arange(nti) * tile
     j0 = np.arange(ntj) * tile
     if model == "bilinear":
-        # bilinear in (x, y): per-tile extrema sit on the 4 corners
+        # bilinear in (x, y): per-tile extrema of the continuous deviation
+        # field provably sit on the 4 tile corners
         off_i = np.array([0, 0, tile - 1, tile - 1])
         off_j = np.array([0, tile - 1, 0, tile - 1])
-    elif model == "projective":
-        # rational map: extrema need not be at corners — sample a 5x5 grid
-        # per tile (the deviation field is smooth; +2 slack covers the rest)
-        g = np.linspace(0, tile - 1, 5)
-        off_i, off_j = map(np.ravel, np.meshgrid(g, g, indexing="ij"))
-    else:
-        return None
-    ys = (i0[:, None, None] + off_i[None, None, :] + offset_y)
-    xs = (j0[None, :, None] + off_j[None, None, :] + offset_x)
-    ys = np.broadcast_to(ys, (nti, ntj, len(off_i)))
-    xs = np.broadcast_to(xs, (nti, ntj, len(off_j)))
-    if model == "bilinear":
+        ys = (i0[:, None, None] + off_i[None, None, :] + offset_y)
+        xs = (j0[None, :, None] + off_j[None, None, :] + offset_x)
+        ys = np.broadcast_to(ys, (nti, ntj, len(off_i)))
+        xs = np.broadcast_to(xs, (nti, ntj, len(off_j)))
         xw = c[0] * xs + c[1] * ys + c[2] * xs * ys + c[3]
         yw = c[4] * xs + c[5] * ys + c[6] * xs * ys + c[7]
+        # deviation from the per-tile translation predictor
+        ri = ys - ys[..., :1]
+        rj = xs - xs[..., :1]
+        dev_y = (yw - ri) - (yw - ri).min(-1, keepdims=True)
+        dev_x = (xw - rj) - (xw - rj).min(-1, keepdims=True)
+        need_y = float(dev_y.max()) + 2.0   # trunc + corner-margin slack
+        need_x = float(dev_x.max()) + 2.0
+    elif model == "projective":
+        # rational map: extrema need not sit on corners or any sampled
+        # grid, so evaluate EVERY pixel the kernel will see (chunked per
+        # tile-row) — the exact per-tile spread of trunc(warp) - index.
+        # A sampled bound can silently undershoot and zero output pixels.
+        jfull = j0[0] + np.arange(ntj * tile, dtype=np.float64)
+        ii_rel = np.arange(tile, dtype=np.float64)[:, None]
+        jj_rel = np.tile(np.arange(tile, dtype=np.float64), ntj)[None, :]
+        need_y = need_x = 0.0
+        for ti in range(nti):
+            ys = (i0[ti] + ii_rel) + offset_y              # [tile, 1]
+            xs = jfull[None, :] + offset_x                  # [1, W_pad]
+            den = c[6] * xs + c[7] * ys + c[8]
+            if (np.any(np.abs(den) < 1e-8)
+                    or (den.max() > 0 and den.min() < 0)):
+                return None  # horizon crosses the canvas: gather fallback
+            xw = (c[0] * xs + c[1] * ys + c[2]) / den
+            yw = (c[3] * xs + c[4] * ys + c[5]) / den
+            ny_rel = (np.trunc(yw) - ii_rel).reshape(tile, ntj, tile)
+            nx_rel = (np.trunc(xw) - jj_rel).reshape(tile, ntj, tile)
+            need_y = max(need_y, float(
+                (ny_rel.max((0, 2)) - ny_rel.min((0, 2))).max()))
+            need_x = max(need_x, float(
+                (nx_rel.max((0, 2)) - nx_rel.min((0, 2))).max()))
+        # the kernel computes in f32; a trunc boundary can flip by 1
+        need_y += 1.0
+        need_x += 1.0
     else:
-        den = c[6] * xs + c[7] * ys + c[8]
-        if np.any(np.abs(den) < 1e-8) or (np.any(den > 0) and np.any(den < 0)):
-            return None   # horizon crosses the canvas: fall back to gather
-        xw = (c[0] * xs + c[1] * ys + c[2]) / den
-        yw = (c[3] * xs + c[4] * ys + c[5]) / den
-    # deviation from the per-tile translation predictor
-    ri = ys - ys[..., :1]
-    rj = xs - xs[..., :1]
-    dev_y = (yw - ri) - (yw - ri).min(-1, keepdims=True)
-    dev_x = (xw - rj) - (xw - rj).min(-1, keepdims=True)
-    need_y = float(dev_y.max()) + 2.0   # trunc + corner-margin slack
-    need_x = float(dev_x.max()) + 2.0
+        return None
     for by in buckets:
         if need_y <= by:
             break

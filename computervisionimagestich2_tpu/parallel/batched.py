@@ -28,12 +28,14 @@ def _register_one(gray_a: jnp.ndarray, gray_b: jnp.ndarray,
     import dataclasses
 
     # this path is vmapped over the pair batch; the Pallas keypoint-walk
-    # kernels don't batch, so pin the XLA per-keypoint backend
+    # and 2-NN kernels don't batch (and may target non-default devices, e.g.
+    # a virtual CPU mesh), so pin the XLA backends
     sift_cfg = dataclasses.replace(cfg.sift, pallas="off")
     fa = sift_extract(gray_a, sift_cfg)
     fb = sift_extract(gray_b, sift_cfg)
     pairs = match_features(fb, fa, cfg.match.ratio_threshold,
-                           cfg.match.distance, cfg.match.max_matches)
+                           cfg.match.distance, cfg.match.max_matches,
+                           pallas="off")
     key = jax.random.PRNGKey(cfg.ransac.seed)
     coeffs, _, n_inliers = ransac_warp(pairs, key, cfg.ransac.n_hypotheses,
                                        cfg.ransac.threshold,
@@ -55,9 +57,12 @@ def batched_pairwise_register(gray_a: jnp.ndarray, gray_b: jnp.ndarray,
 @partial(jax.jit, static_argnames=("cfg",))
 def _project_and_extract_one(image: jnp.ndarray,
                              cfg: StitchConfig = DEFAULT_CONFIG):
+    from ..models.sift import sift_extract_stats
+
     proj = cylindrical_project(image.astype(jnp.float32),
                                cfg.projection.angle_deg)
-    return sift_extract(to_gray(proj), cfg.sift), proj
+    feats, stats = sift_extract_stats(to_gray(proj), cfg.sift)
+    return feats, proj, stats
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -85,8 +90,8 @@ def batched_project_and_extract(images: jnp.ndarray,
     if _pallas_enabled(cfg.sift):
         outs = [_project_and_extract_one(images[i], cfg)
                 for i in range(images.shape[0])]
-        return jax.tree.map(lambda *xs: jnp.stack(xs), *outs)
-    return _project_and_extract_vmapped(images, cfg)
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *outs)[:2]
+    return _project_and_extract_vmapped(images, cfg)[:2]
 
 
 def shard_batch(mesh: Mesh, *arrays):

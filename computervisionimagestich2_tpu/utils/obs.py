@@ -32,6 +32,14 @@ def log(stage: str, **kv) -> None:
         print(f"[panorama-tpu] {stage} {items}", file=sys.stderr, flush=True)
 
 
+def warn(stage: str, **kv) -> None:
+    """Always-on warning for conditions that must never pass silently
+    (e.g. static-capacity truncation — VERDICT r1 #8)."""
+    items = " ".join(f"{k}={v}" for k, v in kv.items())
+    print(f"[panorama-tpu] WARNING {stage} {items}", file=sys.stderr,
+          flush=True)
+
+
 class StageTimer:
     def __init__(self):
         self.times: dict[str, float] = {}

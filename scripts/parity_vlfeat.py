@@ -1,0 +1,256 @@
+"""Parity harness against the ACTUAL VLFeat library.
+
+Round 1 validated SIFT against a NumPy transcription written from the same
+reading of the C (tests/sift_oracle.py) — a shared misreading would pass
+silently. This script compares against the real thing: scripts/vlfeat_dump.c
+compiles /root/reference/vl/{sift,imopv,mathop,kdtree,...}.c into a
+keypoint/descriptor/match dump tool (scripts/build_vlfeat_dump.sh), fed the
+SAME projected-grayscale buffers our pipeline produces.
+
+Measured per image (defaults match the app: vl_sift_new(w, h, 4, 2, 0),
+ImageProcess.cpp:54-55):
+  - keypoint count delta (ours vs VLFeat, raw and map-dedup'd app semantics)
+  - coordinate agreement of greedily matched keypoints (<= 1 px)
+  - descriptor cosine similarity of matched keypoints (> 0.99)
+  - Lowe-ratio match counts per adjacent pair: VLFeat kd-forest (the app's
+    getImgPair, ImageProcess.cpp:273-351) vs our exact matcher — on BOTH
+    their features and ours
+  - matcher cross-check: our exact 2-NN on THEIR descriptors must reproduce
+    the kd-forest pair set (exact search >= ANN)
+
+Run on CPU (pinned; deterministic, leaves the TPU tunnel alone):
+    python scripts/parity_vlfeat.py [--dataset /root/reference/Input]
+Writes PARITY_VLFEAT.md at the repo root and exits nonzero on failure.
+"""
+import argparse
+import os
+import struct
+import subprocess
+import sys
+import tempfile
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+TOOL = os.path.join(REPO, "build", "vlfeat_dump")
+REC = 4 + 128
+
+
+def ensure_tool():
+    if not os.path.exists(TOOL):
+        subprocess.run(["sh", os.path.join(REPO, "scripts",
+                                           "build_vlfeat_dump.sh")],
+                       check=True)
+
+
+def load_dump(path):
+    with open(path, "rb") as f:
+        n = struct.unpack("<i", f.read(4))[0]
+        recs = np.fromfile(f, np.float32, n * REC).reshape(n, REC)
+    return recs  # [n, 4+128]: x, y, sigma, angle, desc
+
+
+def write_dump(path, recs):
+    with open(path, "wb") as f:
+        f.write(struct.pack("<i", len(recs)))
+        np.ascontiguousarray(recs, np.float32).tofile(f)
+
+
+def dedup_map(recs):
+    """The app's map<vector<float>, VlSiftKeypoint> dedups identical
+    descriptor vectors (ImageProcess.cpp:86, ImageProcess.h:54)."""
+    _, idx = np.unique(recs[:, 4:], axis=0, return_index=True)
+    return recs[np.sort(idx)]
+
+
+def gray_images(dataset, count):
+    from computervisionimagestich2_tpu.ops.color import to_gray
+    from computervisionimagestich2_tpu.ops.warp import cylindrical_project
+    from computervisionimagestich2_tpu.utils import load_image
+
+    import jax.numpy as jnp
+
+    grays = []
+    for i in range(1, count + 1):
+        img = load_image(f"{dataset}/{i}.bmp")
+        proj = cylindrical_project(jnp.asarray(img, jnp.float32), 15.0)
+        grays.append(np.asarray(to_gray(proj), np.float32))
+    return grays
+
+
+def our_features(gray):
+    import dataclasses
+
+    from computervisionimagestich2_tpu.config import SiftConfig
+    from computervisionimagestich2_tpu.models.sift import sift_extract
+
+    cfg = SiftConfig()
+    feats = sift_extract(gray, cfg)
+    valid = np.asarray(feats.valid)
+    return (np.asarray(feats.xy)[valid], np.asarray(feats.scale)[valid],
+            np.asarray(feats.desc)[valid])
+
+
+def greedy_match(xy_a, xy_b, tol=1.0):
+    """Greedy nearest assignment a->b on (x, y); returns index pairs."""
+    if len(xy_a) == 0 or len(xy_b) == 0:
+        return np.zeros((0, 2), int)
+    d = np.linalg.norm(xy_a[:, None, :] - xy_b[None, :, :], axis=-1)
+    pairs = []
+    used = np.zeros(len(xy_b), bool)
+    order = np.argsort(d.min(axis=1))
+    for i in order:
+        j = np.argmin(np.where(used, np.inf, d[i]))
+        if not used[j] and d[i, j] <= tol:
+            pairs.append((i, j))
+            used[j] = True
+    return np.asarray(pairs, int).reshape(-1, 2)
+
+
+def our_match_pairs(desc_b, desc_a, ratio=0.5):
+    """Exact 2-NN L1 + ratio (queries = b, refs = a), NumPy (exact oracle
+    of ops.distance.two_nearest on unpadded data)."""
+    if len(desc_a) < 2 or len(desc_b) == 0:
+        return np.zeros((0, 2), int)
+    pairs = []
+    for i in range(len(desc_b)):
+        d = np.abs(desc_a - desc_b[i]).sum(axis=1)
+        j1 = np.argmin(d)
+        d1 = d[j1]
+        d2 = np.min(np.delete(d, j1)) if len(d) > 1 else np.inf
+        if d1 / d2 < ratio:
+            pairs.append((j1, i))
+    return np.asarray(pairs, int).reshape(-1, 2)
+
+
+def vlfeat_match_count(path_a, path_b):
+    out = subprocess.run([TOOL, "match", path_a, path_b],
+                         capture_output=True, text=True, check=True).stdout
+    pairs = [tuple(map(int, ln.split()[1:3]))
+             for ln in out.splitlines() if ln.startswith("pair ")]
+    count = int([ln for ln in out.splitlines()
+                 if ln.startswith("matches ")][0].split()[1])
+    return count, pairs
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dataset", default="/root/reference/Input")
+    ap.add_argument("--count", type=int, default=4)
+    ap.add_argument("--out", default=os.path.join(REPO, "PARITY_VLFEAT.md"))
+    args = ap.parse_args()
+
+    ensure_tool()
+    grays = gray_images(args.dataset, args.count)
+
+    rows = []
+    failures = []
+    tmp = tempfile.mkdtemp(prefix="vlparity_")
+    vl_raw, vl_dedup, our_sets = [], [], []
+    for i, gray in enumerate(grays, 1):
+        gpath = f"{tmp}/g{i}.f32"
+        dpath = f"{tmp}/kp{i}.bin"
+        gray.astype(np.float32).tofile(gpath)
+        subprocess.run([TOOL, "sift", gpath, str(gray.shape[1]),
+                        str(gray.shape[0]), dpath],
+                       check=True, capture_output=True)
+        recs = load_dump(dpath)
+        recs_u = dedup_map(recs)
+        vl_raw.append(recs)
+        vl_dedup.append(recs_u)
+        xy, sigma, desc = our_features(gray)
+        our_sets.append((xy, sigma, desc))
+
+        cnt_delta = abs(len(xy) - len(recs)) / max(len(recs), 1)
+        pairs = greedy_match(recs[:, :2], xy, tol=1.0)
+        frac_matched = len(pairs) / max(len(recs), 1)
+        if len(pairs):
+            da = recs[pairs[:, 0], 4:]
+            db = desc[pairs[:, 1]]
+            cos = (da * db).sum(1) / np.maximum(
+                np.linalg.norm(da, axis=1) * np.linalg.norm(db, axis=1),
+                1e-12)
+            med_cos = float(np.median(cos))
+            coord_err = float(np.median(np.linalg.norm(
+                recs[pairs[:, 0], :2] - xy[pairs[:, 1]], axis=1)))
+        else:
+            med_cos, coord_err = 0.0, np.inf
+        rows.append(
+            f"| {os.path.basename(args.dataset)}/{i}.bmp | {len(recs)} "
+            f"({len(recs_u)} dedup) | {len(xy)} | "
+            f"{100 * cnt_delta:.1f}% | {100 * frac_matched:.1f}% | "
+            f"{coord_err:.3f} px | {med_cos:.4f} |")
+        if cnt_delta > 0.02:
+            failures.append(f"img {i}: count delta {100 * cnt_delta:.1f}% > 2%")
+        if frac_matched < 0.95:
+            failures.append(f"img {i}: only {100 * frac_matched:.1f}% of "
+                            "VLFeat keypoints matched within 1 px")
+        if med_cos < 0.99:
+            failures.append(f"img {i}: median descriptor cosine {med_cos:.4f}")
+
+    # ---- matcher parity per adjacent pair
+    mrows = []
+    for i in range(len(grays) - 1):
+        a, b = i + 1, i + 2
+        pa, pb = f"{tmp}/u{a}.bin", f"{tmp}/u{b}.bin"
+        write_dump(pa, vl_dedup[i])
+        write_dump(pb, vl_dedup[i + 1])
+        vl_count, vl_pairs = vlfeat_match_count(pa, pb)
+        # cross-check: exact 2-NN on THEIR dedup'd descriptors
+        ours_on_theirs = our_match_pairs(vl_dedup[i + 1][:, 4:],
+                                         vl_dedup[i][:, 4:])
+        same = len(set(map(tuple, vl_pairs))
+                   & set(map(tuple, ours_on_theirs)))
+        # end-to-end: our features, our exact matcher
+        our_count = len(our_match_pairs(our_sets[i + 1][2], our_sets[i][2]))
+        mrows.append(f"| {a}-{b} | {vl_count} | {len(ours_on_theirs)} "
+                     f"({same} shared) | {our_count} |")
+        rel = abs(our_count - vl_count) / max(vl_count, 1)
+        if same < min(vl_count, len(ours_on_theirs)) * 0.98:
+            failures.append(
+                f"pair {a}-{b}: exact matcher reproduces only {same}/"
+                f"{vl_count} kd-forest pairs on identical descriptors")
+        if rel > 0.10:
+            failures.append(
+                f"pair {a}-{b}: end-to-end match count {our_count} vs "
+                f"VLFeat {vl_count} ({100 * rel:.0f}% off)")
+
+    verdict = "PASS" if not failures else "FAIL"
+    body = f"""# PARITY vs actual VLFeat — {verdict}
+
+Ground truth: `build/vlfeat_dump` compiled from the reference's own C
+sources (`scripts/build_vlfeat_dump.sh`), fed the same projected-grayscale
+buffers (`scripts/parity_vlfeat.py`, dataset `{args.dataset}`).
+
+## SIFT keypoints + descriptors
+
+| image | VLFeat kp | ours | count delta | matched <=1px | med coord err | med desc cosine |
+|---|---|---|---|---|---|---|
+{chr(10).join(rows)}
+
+Gates: count delta <= 2%, matched fraction >= 95%, median cosine > 0.99.
+
+## Lowe-ratio matches (ratio 0.5, L1)
+
+| pair | VLFeat kd-forest (dedup'd, app semantics) | our exact 2-NN on THEIR desc | our end-to-end |
+|---|---|---|---|
+{chr(10).join(mrows)}
+
+Gates: exact matcher reproduces >= 98% of kd-forest pairs on identical
+descriptors; end-to-end count within 10% (SIFT sub-pixel drift moves a few
+borderline ratio-test decisions).
+
+{"## Failures" + chr(10) + chr(10) + chr(10).join("- " + f for f in failures) if failures else "All gates pass."}
+"""
+    with open(args.out, "w") as f:
+        f.write(body)
+    print(body)
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -99,6 +99,39 @@ def test_compat_api(tmp_path, rng):
     assert tr.shape == left.shape
 
 
+def test_single_image_stitch(rng):
+    """n == 1: the graph path has no pairs (regression:
+    all_pairs_match_counts crashed scanning the empty pair list)."""
+    scene = make_scene(rng)
+    out = Stitcher(SMALL).stitch([scene])
+    assert out.shape[:2] == scene.shape[:2]
+    assert out.dtype == np.uint8
+
+
+def test_match_counts_n1_and_directed_rule():
+    import jax.numpy as jnp
+
+    from computervisionimagestich2_tpu.models.registration import (
+        all_pairs_match_counts)
+    from computervisionimagestich2_tpu.models.stitcher import (
+        directed_adjacency)
+
+    counts = all_pairs_match_counts(
+        jnp.zeros((1, 128, 128), jnp.float32), jnp.zeros((1, 128), bool),
+        SMALL)
+    assert np.asarray(counts).shape == (1, 1)
+    assert np.asarray(counts)[0, 0] == 0
+
+    # asymmetric pair: only the passing direction's edge exists
+    # (ImageProcess.cpp:125-135 — the mirror happens only when the first
+    # direction passed THRESHOLD)
+    adj = directed_adjacency(np.array([[0, 5], [25, 0]]), 20)
+    assert adj == [[False, False], [True, False]]
+    # symmetric shortcut: i<j passes -> (j, i) mirrors without recompute
+    adj = directed_adjacency(np.array([[0, 25], [0, 0]]), 20)
+    assert adj == [[False, True], [True, False]]
+
+
 def test_planned_matches_incremental(rng):
     """planned=True (single-program edge registration, registration.plan_edges)
     must reproduce the incremental per-edge loop. XLA's excess-precision

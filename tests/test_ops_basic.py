@@ -337,6 +337,39 @@ def test_banded_warp_matches_gather(rng):
         np.testing.assert_array_equal(ref, got)
 
 
+def test_banded_warp_projective_exact_bound(rng):
+    """Projective banded warp: the planner dense-evaluates every pixel, so
+    whenever it accepts a band the banded output matches the gather path —
+    including strong-perspective warps whose deviation extrema fall between
+    coarse sample points."""
+    import jax.numpy as jnp
+
+    from computervisionimagestich2_tpu.ops.warp import (
+        banded_warp_params, warp_image, warp_image_banded)
+
+    src = jnp.asarray(rng.uniform(0, 255, (150, 220, 3)).astype(np.float32))
+    out_shape = (200, 300)
+    ox, oy = -40.0, -10.0
+    for c in [
+        np.array([1.01, 0.02, -20.0, 0.015, 0.99, 5.0,
+                  1e-4, 5e-5, 1.0], np.float32),     # strong perspective
+        np.array([0.98, -0.01, 10.0, -0.02, 1.02, -8.0,
+                  2e-5, -1e-5, 1.0], np.float32),
+    ]:
+        bands = banded_warp_params(c, out_shape, ox, oy, src.shape[:2],
+                                   model="projective")
+        if bands is None:
+            continue  # rejection is always safe — the gather path runs
+        ref = np.asarray(warp_image(src, jnp.asarray(c), jnp.float32(ox),
+                                    jnp.float32(oy), out_shape=out_shape,
+                                    model="projective"))
+        got = np.asarray(warp_image_banded(src, jnp.asarray(c),
+                                           jnp.float32(ox), jnp.float32(oy),
+                                           out_shape, *bands,
+                                           model="projective"))
+        np.testing.assert_array_equal(ref, got)
+
+
 def test_banded_warp_planner_rejects_wild_warps():
     from computervisionimagestich2_tpu.ops.warp import banded_warp_params
 

@@ -84,3 +84,55 @@ def test_small_sigma_identity():
     x = jnp.asarray(np.arange(20, dtype=np.float32))
     np.testing.assert_array_equal(np.asarray(vanvliet_blur_axis(x, 0.3)),
                                   np.asarray(x))
+
+
+def test_short_axes_match_cimg_loop():
+    """n < 4 axes: the Triggs states fall back to the Neumann init values
+    (CImg.h:34910), and n==1's backward loop runs zero iterations."""
+    rng = np.random.default_rng(5)
+    big_b, f1, f2, f3 = _vanvliet_coefs(2.0)
+    filt = [big_b, f1, f2, f3]
+    for n in (1, 2, 3, 4):
+        x = rng.uniform(0, 255, n)
+        expect = cimg_recursive_apply_0(x, filt)
+        got = np.asarray(vanvliet_blur_axis(jnp.asarray(x, jnp.float32), 2.0))
+        np.testing.assert_allclose(got, expect, atol=0.05,
+                                   err_msg=f"n={n}")
+
+
+def test_blur_2d_skips_size1_axes():
+    """get_blur skips size-1 axes (CImg.h:35115-35116): a [1, W] image is
+    blurred along W only, a [H, 1] along H only."""
+    rng = np.random.default_rng(6)
+    big_b, f1, f2, f3 = _vanvliet_coefs(2.0)
+    filt = [big_b, f1, f2, f3]
+    row = rng.uniform(0, 255, (1, 37))
+    expect = cimg_recursive_apply_0(row[0], filt)[None, :]
+    got = np.asarray(vanvliet_blur(jnp.asarray(row, jnp.float32), 2.0))
+    np.testing.assert_allclose(got, expect, atol=0.05)
+    col = rng.uniform(0, 255, (29, 1))
+    expect = cimg_recursive_apply_0(col[:, 0], filt)[:, None]
+    got = np.asarray(vanvliet_blur(jnp.asarray(col, jnp.float32), 2.0))
+    np.testing.assert_allclose(got, expect, atol=0.05)
+
+
+def test_wide_canvas_vanvliet_blend():
+    """A wide panorama canvas whose short-axis pyramid reaches size 1
+    (40x600, level_mode='max' -> 9 levels) must not crash in the vanvliet
+    parity mode and must stay close to the FIR blend."""
+    from computervisionimagestich2_tpu.models.blender import blend_two_images
+
+    rng = np.random.default_rng(7)
+    h, w = 40, 600
+    a = np.zeros((h, w, 3), np.float32)
+    b = np.zeros((h, w, 3), np.float32)
+    a[:, : w * 2 // 3] = rng.uniform(1, 255, (h, w * 2 // 3, 3))
+    b[:, w // 3:] = rng.uniform(1, 255, (h, w - w // 3, 3))
+    out_vv = np.asarray(blend_two_images(
+        jnp.asarray(a), jnp.asarray(b), "max", 2.0, "vanvliet"))
+    out_fir = np.asarray(blend_two_images(
+        jnp.asarray(a), jnp.asarray(b), "max", 2.0, "fir"))
+    assert out_vv.shape == (h, w, 3)
+    assert np.isfinite(out_vv).all()
+    # same blend decision, different blur kernels: agree loosely
+    assert np.abs(out_vv - out_fir).mean() < 12.0
