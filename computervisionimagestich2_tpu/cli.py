@@ -40,6 +40,9 @@ def main(argv=None):
                         "compiles for long chains; parity-exact sizes off)")
     p.add_argument("--artifacts", default=None,
                    help="directory to dump per-stage npz artifacts")
+    p.add_argument("--resume", action="store_true",
+                   help="skip SIFT when --artifacts/features.npz exists "
+                        "(dump-and-resume, SURVEY.md §5)")
     p.add_argument("--verbose", action="store_true",
                    help="structured stage logging to stderr")
     args = p.parse_args(argv)
@@ -76,9 +79,12 @@ def main(argv=None):
 
         obs.set_verbose(True)
 
+    if args.resume and not args.artifacts:
+        p.error("--resume requires --artifacts")
+
     t0 = time.perf_counter()
     stitcher = Stitcher(cfg, artifact_dir=args.artifacts)
-    out = stitcher.stitch(images)
+    out = stitcher.stitch(images, resume=args.resume)
     elapsed = time.perf_counter() - t0
 
     save_image(args.output, out)

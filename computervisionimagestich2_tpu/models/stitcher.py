@@ -29,6 +29,7 @@ BFS-from-middle chains) — is reproduced faithfully in both modes.
 from __future__ import annotations
 
 
+import os
 from collections import deque
 from typing import Sequence
 
@@ -359,15 +360,46 @@ class Stitcher:
                         capacity=cfg.match.max_matches)
         return result
 
-    # ----------------------------------------------------------------- main
-    def stitch(self, images: Sequence[np.ndarray]) -> np.ndarray:
-        """Full pipeline (ImageProcess ctor + matching). Returns the final
-        u8 RGB panorama."""
+    # ---------------------------------------------------------------- resume
+    def _resume_features(self, images: Sequence[np.ndarray]):
+        """Reload SIFT features from the artifact dir and recompute only the
+        (cheap) cylindrical projections — the dump half lives in prepare();
+        this is the read half (SURVEY.md §5 "Checkpoint/resume"). Returns
+        (projected, feats) exactly as prepare() would."""
         cfg = self.config
+        feats = artifacts.load_features(f"{self.artifact_dir}/features.npz")
+        if len(feats) != len(images):
+            raise ValueError(
+                f"resume artifact has {len(feats)} feature sets for "
+                f"{len(images)} images — stale features.npz?")
+        feats = [jax.tree.map(jnp.asarray, f) for f in feats]
+        projected = []
+        for img in images:
+            img_f = jnp.asarray(np.asarray(img)).astype(jnp.float32)
+            projected.append(
+                cylindrical_project(img_f, cfg.projection.angle_deg))
+        shapes = {f.desc.shape for f in feats}
+        self._feats_stacked = (jax.tree.map(lambda *xs: jnp.stack(xs), *feats)
+                               if len(shapes) == 1 else None)
+        return projected, feats
+
+    # ----------------------------------------------------------------- main
+    def stitch(self, images: Sequence[np.ndarray],
+               resume: bool = False) -> np.ndarray:
+        """Full pipeline (ImageProcess ctor + matching). Returns the final
+        u8 RGB panorama. With ``resume=True`` (requires ``artifact_dir``),
+        the SIFT stage is skipped when ``features.npz`` already exists."""
+        cfg = self.config
+        resumed = (resume and self.artifact_dir
+                   and os.path.exists(f"{self.artifact_dir}/features.npz"))
         with self._timer.stage("features"), obs.trace("features"):
-            projected, feats = self.prepare(images)
+            if resumed:
+                projected, feats = self._resume_features(images)
+                obs.log("resume", source=f"{self.artifact_dir}/features.npz")
+            else:
+                projected, feats = self.prepare(images)
             jax.block_until_ready(feats)
-        if self.artifact_dir:
+        if self.artifact_dir and not resumed:
             artifacts.save_features(
                 f"{self.artifact_dir}/features.npz", feats)
 

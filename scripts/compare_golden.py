@@ -2,9 +2,16 @@
 
 Golden: /root/reference/src/ex6/dataset1/result.bmp (1057x525), produced by
 the ex6 variant (chain ordering, 5/6:1/6 luma mix, min-dim pyramid levels)
-on images identical to Input/ (verified by md5). Geometry parity is loose by
-construction — RANSAC RNG and blend filters differ (SURVEY.md §7) — so the
-metrics are canvas-size delta, overlap-region mean abs diff, and PSNR.
+on images identical to Input/ (verified by md5).
+
+The golden is ONE RANDOM DRAW: the reference seeds RANSAC with
+srand(time(0)) (src/ex6/ImageProcess.cpp:403). scripts/golden_envelope.py
+re-runs the reference's own binary across seeds and measures its
+self-variance vs the golden: successful runs score MAD 10.9..20.3 /
+PSNR 16.8..21.6 dB / canvas width delta 4..25 px (and ~20% of seeds
+catastrophically truncate the panorama to ~822 px). The gates below are
+calibrated to that envelope (GOLDEN_ENVELOPE.md): our output must look like
+*another reference run*, which is the strictest achievable standard.
 
 Run on TPU:  python scripts/compare_golden.py
 """
@@ -56,7 +63,12 @@ def main():
         "psnr_db": round(psnr, 2),
     }
     print(json.dumps(report))
-    ok = abs(gh - oh) <= 8 and abs(gw - ow) <= 8 and diff.mean() < 40
+    # gates calibrated to the reference's own seed envelope
+    # (GOLDEN_ENVELOPE.md): canvas within the successful-run spread, MAD no
+    # worse than the worst ref-vs-ref pair (24.0), PSNR within the
+    # successful-run floor (16.8 dB, with margin)
+    ok = (abs(gh - oh) <= 8 and abs(gw - ow) <= 25
+          and diff.mean() <= 24.0 and psnr >= 15.5)
     sys.exit(0 if ok else 1)
 
 

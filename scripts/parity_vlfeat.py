@@ -36,6 +36,8 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np  # noqa: E402
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
 TOOL = os.path.join(REPO, "build", "vlfeat_dump")
 REC = 4 + 128
 

@@ -148,3 +148,30 @@ def test_planned_matches_incremental(rng):
     diff = np.abs(out_p.astype(int) - out_i.astype(int))
     assert diff.max() <= 1
     assert (diff > 0).mean() < 1e-3
+
+
+def test_resume_from_features_identical(tmp_path, rng):
+    """Dump-and-resume (SURVEY.md §5): a stitch whose SIFT stage is reloaded
+    from features.npz must produce an identical panorama to the original
+    run — the resume path feeds the same features through the same planned
+    program."""
+    scene = make_scene(rng)
+    left, right = scene[:, :140], scene[:, 60:]
+    cfg = dataclasses.replace(SMALL, ordering="chain")
+    art = str(tmp_path / "run1")
+
+    out_full = Stitcher(cfg, artifact_dir=art).stitch([left, right])
+    import os
+
+    assert os.path.exists(f"{art}/features.npz")
+
+    # fresh stitcher, resume=True: prepare() must be skipped entirely
+    st2 = Stitcher(cfg, artifact_dir=art)
+    st2.prepare = None  # blows up if the resume path falls through to SIFT
+    out_resumed = st2.stitch([left, right], resume=True)
+    np.testing.assert_array_equal(out_full, out_resumed)
+
+    # resume=True without an artifact falls back to the normal path
+    st3 = Stitcher(cfg, artifact_dir=str(tmp_path / "empty"))
+    out3 = st3.stitch([left, right], resume=True)
+    np.testing.assert_array_equal(out_full, out3)

@@ -40,10 +40,19 @@ def test_batched_register_sharded(rng):
     covered by test_match_ransac / test_integration)."""
     mesh = make_mesh(4, sp=1)
     b = mesh.shape["data"]
-    base = rng.uniform(0, 255, (48, 64)).astype(np.float32)
+    # a registration-FRIENDLY scene (blobs -> strong distinctive keypoints):
+    # blurred noise alone yields ~6 borderline inliers and an unstable fit,
+    # where shard-vs-unshard comparison measures RANSAC noise, not sharding
+    base = rng.uniform(60, 200, (48, 64)).astype(np.float32)
     for _ in range(2):
         base = (np.roll(base, 1, 0) + base + np.roll(base, -1, 0)) / 3
         base = (np.roll(base, 1, 1) + base + np.roll(base, -1, 1)) / 3
+    ys_g, xs_g = np.mgrid[0:48, 0:64]
+    for _ in range(18):
+        cy, cx = rng.uniform(6, 42), rng.uniform(6, 58)
+        r = rng.uniform(2, 5)
+        m = ((ys_g - cy) ** 2 + (xs_g - cx) ** 2) < r * r
+        base[m] = rng.uniform(0, 255)
     gray_a = jnp.asarray(np.stack([base] * b))
     gray_b = jnp.asarray(np.stack([np.roll(base, 5, axis=1)] * b))
 
@@ -54,7 +63,7 @@ def test_batched_register_sharded(rng):
     # GSPMD may partition reductions differently, flipping distance ties and
     # hence the exact match set / refit — compare the fitted warps where it
     # matters: reprojection agreement over the image (cf. test_projective),
-    # plus a consistent batch (every example identical).
+    # plus agreement of BOTH with the known ground truth (x -> x - 5).
     from computervisionimagestich2_tpu.ops.warp import warp_points
 
     px, py = np.meshgrid(np.linspace(4, 60, 8), np.linspace(4, 44, 8))
@@ -65,6 +74,9 @@ def test_batched_register_sharded(rng):
         xs, ys = warp_points(coeffs[k], px, py)
         dev = np.hypot(np.asarray(xr - xs), np.asarray(yr - ys)).max()
         assert dev < 2.0, dev
+        gt = np.hypot(np.asarray(xr) - (np.asarray(px) - 5),
+                      np.asarray(yr) - np.asarray(py)).max()
+        assert gt < 2.0, gt
     assert np.abs(np.asarray(inliers) - np.asarray(ref_inliers)).max() <= \
         0.1 * np.asarray(ref_inliers).max() + 2
 
