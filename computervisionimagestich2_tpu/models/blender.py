@@ -54,20 +54,11 @@ def n_levels(h: int, w: int, mode: str = "max") -> int:
     return int(math.floor(math.log2(ext)))
 
 
-@partial(jax.jit, static_argnames=("level_mode", "blur_sigma", "blur_impl"))
-def blend_two_images(a: jnp.ndarray, b: jnp.ndarray,
-                     level_mode: str = "max",
-                     blur_sigma: float = 2.0,
-                     blur_impl: str = "fir") -> jnp.ndarray:
-    """Blend canvas a (new warped image) over b (previous result).
-
-    a, b: [H, W, 3] float32 (u8 values). Returns the blended float canvas
-    (the caller truncates to u8, as the reference's CImg assignment does).
-    """
+def half_plane_mask(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Vertical half-plane seam mask from the mid-row overlap centroid
+    (blendTwoImages, ImageProcess.cpp:650-698). Returns [H, W] float32 of
+    {0, 1}: 1 where canvas ``a`` wins at pyramid level 0."""
     h, w = a.shape[0], a.shape[1]
-    levels = n_levels(h, w, level_mode)
-
-    # -- half-plane mask from the mid-row overlap centroid (cpp:650-698)
     mid = h // 2
     row_a = a[mid, :, 0]
     row_b = b[mid, :, 0]
@@ -82,13 +73,22 @@ def blend_two_images(a: jnp.ndarray, b: jnp.ndarray,
     left_mask = (xs < overlap_ratio).astype(jnp.float32)
     right_mask = (xs >= jnp.trunc(overlap_ratio + 1.0)).astype(jnp.float32)
     mask_row = jnp.where(ratio < overlap_ratio, left_mask, right_mask)
-    mask0 = jnp.broadcast_to(mask_row[None, :], (h, w))
+    return jnp.broadcast_to(mask_row[None, :], (h, w))
 
+
+def blend_stacked(s0: jnp.ndarray, levels: int,
+                  blur_sigma: float = 2.0,
+                  blur_impl: str = "fir") -> jnp.ndarray:
+    """Pyramid blend of a pre-stacked [H, W, 7] canvas (a | b | mask
+    channels): downsweep (blur+halve), per-level Laplacian masked lerp,
+    top-down reconstruction with clamping. Factored out of
+    blend_two_images so parallel.blend can reuse it verbatim for the
+    replicated deep-pyramid tail of the row-sharded blend."""
     # -- gaussian pyramids (cpp:705-715)
     # a, b, mask stacked along channels: blur/resize are per-channel
     # independent, so one 7-channel chain computes the identical values
     # with a third of the op-chain (and better VPU utilization)
-    s_pyr = [jnp.concatenate([a, b, mask0[..., None]], axis=-1)]
+    s_pyr = [s0]
     for i in range(1, levels):
         # clamp to >= 1: with max-dim level counts a narrow canvas would hit
         # size 0 (the reference's root variant would crash there; CImg can't
@@ -116,3 +116,20 @@ def blend_two_images(a: jnp.ndarray, b: jnp.ndarray,
         expand = cimg_resize(expand, hp, wp)
         expand = jnp.clip(blend_pyr[i] + expand, 0.0, 255.0)
     return expand
+
+
+@partial(jax.jit, static_argnames=("level_mode", "blur_sigma", "blur_impl"))
+def blend_two_images(a: jnp.ndarray, b: jnp.ndarray,
+                     level_mode: str = "max",
+                     blur_sigma: float = 2.0,
+                     blur_impl: str = "fir") -> jnp.ndarray:
+    """Blend canvas a (new warped image) over b (previous result).
+
+    a, b: [H, W, 3] float32 (u8 values). Returns the blended float canvas
+    (the caller truncates to u8, as the reference's CImg assignment does).
+    """
+    h, w = a.shape[0], a.shape[1]
+    levels = n_levels(h, w, level_mode)
+    mask0 = half_plane_mask(a, b)
+    s0 = jnp.concatenate([a, b, mask0[..., None]], axis=-1)
+    return blend_stacked(s0, levels, blur_sigma, blur_impl)

@@ -34,6 +34,41 @@ def test_sharded_blur_matches_single_device(rng):
     np.testing.assert_allclose(got, expect, atol=1e-4)
 
 
+def test_sharded_blend_matches_single_device(rng):
+    """The row-sharded halo-exchange blend must reproduce the single-device
+    pyramid blend (SURVEY.md §5 'shard the canvas compositing') — overlap
+    seam, Laplacian levels, clamps and all."""
+    from computervisionimagestich2_tpu.models.blender import blend_two_images
+    from computervisionimagestich2_tpu.parallel.blend import (
+        plan_shard_levels, sharded_blend_two_images)
+
+    mesh = make_mesh(8, sp=8)
+    h, w = 256, 192
+    # panorama-shaped canvases: a fills the left 2/3, b the right 2/3, with
+    # zero borders (the mask derives from mid-row zero/nonzero structure)
+    a = np.zeros((h, w, 3), np.float32)
+    b = np.zeros((h, w, 3), np.float32)
+    a[8:-8, : 2 * w // 3] = rng.uniform(10, 250, (h - 16, 2 * w // 3, 3))
+    b[4:-12, w // 3:] = rng.uniform(10, 250, (h - 16, w - w // 3, 3))
+
+    assert plan_shard_levels(h, 8, 8, 2.0) >= 2  # >=2 levels truly sharded
+    got = np.asarray(sharded_blend_two_images(
+        jnp.asarray(a), jnp.asarray(b), mesh, "sp"))
+    expect = np.asarray(blend_two_images(jnp.asarray(a), jnp.asarray(b)))
+    assert got.shape == expect.shape
+    np.testing.assert_allclose(got, expect, atol=2e-3)
+
+
+def test_sharded_blend_rejects_unshardable_height():
+    from computervisionimagestich2_tpu.parallel.blend import (
+        sharded_blend_two_images)
+
+    mesh = make_mesh(8, sp=8)
+    a = jnp.zeros((100, 64, 3), jnp.float32)  # 100 % 16 != 0
+    with pytest.raises(ValueError):
+        sharded_blend_two_images(a, a, mesh, "sp")
+
+
 def test_batched_register_sharded(rng):
     """Sharded execution must agree with single-device execution — the
     invariant that matters for dp sharding (absolute registration quality is
