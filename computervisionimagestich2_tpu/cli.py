@@ -35,9 +35,16 @@ def main(argv=None):
                    help="bilinear = reference-exact; projective = true DLT")
     p.add_argument("--gain-compensation", action="store_true",
                    help="match overlap luma before blending")
-    p.add_argument("--bucketed-canvas", action="store_true",
-                   help="pad canvases onto a geometric size grid (fewer "
-                        "compiles for long chains; parity-exact sizes off)")
+    p.add_argument("--exact-canvas", action="store_true",
+                   help="composite/blend at the reference's exact canvas "
+                        "size per edge (bitwise parity mode; one XLA "
+                        "compile per distinct canvas — slow cold start)")
+    p.add_argument("--bucketed-canvas", dest="exact_canvas",
+                   action="store_false",
+                   help="pad canvases onto a geometric size grid "
+                        "(default: O(log) compiles for long chains; "
+                        "output equal outside a thin seam band)")
+    p.set_defaults(exact_canvas=False)
     p.add_argument("--artifacts", default=None,
                    help="directory to dump per-stage npz artifacts")
     p.add_argument("--resume", action="store_true",
@@ -46,6 +53,21 @@ def main(argv=None):
     p.add_argument("--verbose", action="store_true",
                    help="structured stage logging to stderr")
     args = p.parse_args(argv)
+
+    # Persistent XLA compilation cache: the first-ever run pays the
+    # compiles; later CLI invocations with repeat shapes reload serialized
+    # executables (the cold-start relief VERDICT r1 #6 asks for beyond
+    # canvas bucketing). Opt out with PANORAMA_TPU_NO_CACHE=1.
+    if not os.environ.get("PANORAMA_TPU_NO_CACHE"):
+        import jax
+
+        cache_dir = os.environ.get(
+            "PANORAMA_TPU_CACHE_DIR",
+            os.path.expanduser("~/.cache/panorama_tpu/xla"))
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
     import dataclasses
 
@@ -66,7 +88,7 @@ def main(argv=None):
 
     cfg = dataclasses.replace(DEFAULT_CONFIG, ordering=args.ordering,
                               warp_model=args.warp_model,
-                              exact_canvas=not args.bucketed_canvas)
+                              exact_canvas=args.exact_canvas)
     if args.ordering == "chain":
         cfg = dataclasses.replace(
             cfg, enhance=dataclasses.replace(cfg.enhance, mix_weight=5.0 / 6.0),

@@ -29,7 +29,7 @@ from ..config import SiftConfig
 from ..core.types import Features
 from ..ops import sift_kernels as sk
 from ..ops.gaussian import gaussian_blur
-from ..ops.resize import vlfeat_downsample
+from ..ops.resize import vlfeat_downsample, vlfeat_upsample_rows
 
 
 def _pallas_enabled(cfg: SiftConfig) -> bool:
@@ -49,7 +49,9 @@ def scale_space_sigmas(cfg: SiftConfig):
     (vl/sift.c:394-404)."""
     first = None
     sa = cfg.sigma0 * cfg.sigma_k ** cfg.s_min
-    sb = cfg.sigma_n  # o_min = 0
+    # the nominal input smoothing scales with the first-octave sampling rate
+    # (vl/sift.c:389-392: sb = sigma_n / pow(2, o_min))
+    sb = cfg.sigma_n / (2.0 ** cfg.o_min)
     if sa > sb:
         first = math.sqrt(sa * sa - sb * sb)
     inc = [cfg.dsigma0 * cfg.sigma_k ** s
@@ -202,17 +204,26 @@ def sift_extract_stats(gray: jnp.ndarray,
     capacities replace VLFeat's realloc'd buffers (vl/sift.c:580-590);
     truncation is legal but must be visible (VERDICT r1 #8).
     """
-    h, w = gray.shape
     first_sigma, _ = scale_space_sigmas(cfg)
 
-    per_octave = []
     base = gray.astype(jnp.float32)
+    if cfg.o_min < 0:
+        # upsampled first octave (vl_sift_process_first_octave,
+        # vl/sift.c:322-409): each doubling is a copy_and_upsample_rows
+        # PAIR — the row upsample transposes, so two calls double both dims
+        for _ in range(-cfg.o_min):
+            base = vlfeat_upsample_rows(vlfeat_upsample_rows(base))
+    elif cfg.o_min > 0:
+        base = vlfeat_downsample(base, cfg.o_min)
+
+    per_octave = []
     for o in range(cfg.n_octaves):
-        oh, ow = h >> o, w >> o
-        if min(oh, ow) < 8:
+        if min(base.shape[-2:]) < 8:
             break
         octave = build_octave(base, cfg, first_sigma if o == 0 else None)
-        per_octave.append(_process_octave(octave, cfg, o))
+        # octave index counts from o_min: xper = 2^(o_min + o) maps octave
+        # pixels back to input coordinates (0.5/px for the upsampled octave)
+        per_octave.append(_process_octave(octave, cfg, cfg.o_min + o))
         if o + 1 < cfg.n_octaves:
             # next octave base: decimate level s_min + S (octave index S)
             base = vlfeat_downsample(octave[cfg.n_levels], 1)

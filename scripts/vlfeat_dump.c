@@ -5,11 +5,13 @@
  * transcription (VERDICT round 1, "Missing #2").
  *
  * Modes:
- *   sift <gray.f32> <width> <height> <out.bin>
+ *   sift <gray.f32> <width> <height> <out.bin> [o_min]
  *       Replicates the app's siftAlgorithm loop exactly
  *       (/root/reference/ImageProcess.cpp:44-99): vl_sift_new(w, h, 4, 2, 0)
  *       with library-default thresholds, first octave -> detect ->
  *       orientations (<=4) -> descriptor per angle, over all octaves.
+ *       Optional o_min (default 0) exercises the upsampled-first-octave
+ *       path (vl_sift_process_first_octave, vl/sift.c:322-409).
  *       Output: int32 n, then n records of float32 [x, y, sigma, angle,
  *       desc[128]] in detection order.
  *   match <descA.bin> <descB.bin>
@@ -43,11 +45,12 @@ static float *read_floats(const char *path, long count) {
 }
 
 static int run_sift(const char *gray_path, int width, int height,
-                    const char *out_path) {
+                    const char *out_path, int o_min) {
   float *img = read_floats(gray_path, (long)width * height);
   /* app parameters: NOTAVES_NUM=4, LEVEL_NUM=2, o_min=0
-   * (ImageProcess.cpp:54-55, ImageProcess.h:15-16) */
-  VlSiftFilt *filt = vl_sift_new(width, height, 4, 2, 0);
+   * (ImageProcess.cpp:54-55, ImageProcess.h:15-16); o_min overridable to
+   * exercise the upsampled first octave (vl/sift.c:322-409) */
+  VlSiftFilt *filt = vl_sift_new(width, height, 4, 2, o_min);
   FILE *out = fopen(out_path, "wb");
   vl_int32 n = 0;
   if (!out) { fprintf(stderr, "cannot open %s\n", out_path); exit(2); }
@@ -139,12 +142,13 @@ static int run_match(const char *a_path, const char *b_path) {
 }
 
 int main(int argc, char **argv) {
-  if (argc >= 2 && !strcmp(argv[1], "sift") && argc == 6)
-    return run_sift(argv[2], atoi(argv[3]), atoi(argv[4]), argv[5]);
+  if (argc >= 2 && !strcmp(argv[1], "sift") && (argc == 6 || argc == 7))
+    return run_sift(argv[2], atoi(argv[3]), atoi(argv[4]), argv[5],
+                    argc == 7 ? atoi(argv[6]) : 0);
   if (argc >= 2 && !strcmp(argv[1], "match") && argc == 4)
     return run_match(argv[2], argv[3]);
   fprintf(stderr,
-          "usage: %s sift <gray.f32> <W> <H> <out.bin>\n"
+          "usage: %s sift <gray.f32> <W> <H> <out.bin> [o_min]\n"
           "       %s match <descA.bin> <descB.bin>\n",
           argv[0], argv[0]);
   return 1;

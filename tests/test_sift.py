@@ -81,3 +81,33 @@ def test_sift_empty_image():
                      max_keypoints=256)
     feats = sift_extract(img, cfg)
     assert int(np.asarray(feats.count())) == 0
+
+
+def test_sift_omin_negative_upsampled_octave():
+    """o_min=-1 (vl/sift.c:322-409): the upsampled first octave detects
+    finer scales (sigma below the o_min=0 floor), coordinates stay in
+    input-pixel units, and the coarser octaves' keypoints persist. True
+    parity vs the real library is gated by scripts/parity_vlfeat.py's
+    o_min section."""
+    import jax.numpy as jnp
+
+    img = make_image(7, (64, 80))
+    cfg0 = SiftConfig(n_octaves=2, max_keypoints_per_octave=512,
+                      max_keypoints=1024)
+    cfg_up = SiftConfig(n_octaves=3, o_min=-1,
+                        max_keypoints_per_octave=512, max_keypoints=1024)
+    f0 = sift_extract(jnp.asarray(img), cfg0)
+    fu = sift_extract(jnp.asarray(img), cfg_up)
+    v0, vu = np.asarray(f0.valid), np.asarray(fu.valid)
+    xy0, xyu = np.asarray(f0.xy)[v0], np.asarray(fu.xy)[vu]
+    s0, su = np.asarray(f0.scale)[v0], np.asarray(fu.scale)[vu]
+    assert len(xyu) > len(xy0)                       # extra fine keypoints
+    assert su.min() < s0.min() * 0.75                # sub-sigma0 scales
+    # coordinates in input units despite the 2x octave (xper = 0.5)
+    assert xyu[:, 0].max() < img.shape[1] and xyu[:, 1].max() < img.shape[0]
+    assert xyu.min() >= 0
+    # coarse keypoints persist: for most o_min=0 keypoints there is an
+    # o_min=-1 keypoint within 1 px (smoothing history differs slightly,
+    # so demand 70%, not all)
+    d = np.linalg.norm(xy0[:, None] - xyu[None, :], axis=-1).min(axis=1)
+    assert (d <= 1.0).mean() > 0.7, (d <= 1.0).mean()
