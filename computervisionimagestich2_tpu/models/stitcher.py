@@ -326,7 +326,6 @@ class Stitcher:
         from .registration import plan_edges
 
         cfg = self.config
-        start = edge_seq[0][2] if edge_seq else 0
         img_hw = tuple(projected[edge_seq[0][1]].shape[:2])
         start_hw = tuple(result.shape[:2])
         edges = jnp.asarray(np.asarray(edge_seq, np.int32))

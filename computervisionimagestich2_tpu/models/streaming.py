@@ -49,13 +49,31 @@ class StreamingStitcher:
     """
 
     def __init__(self, config: StitchConfig = DEFAULT_CONFIG,
-                 max_width: int | None = None, project: bool = True):
+                 max_width: int | None = None, project: bool = True,
+                 anchor: str = "keyframe"):
+        """``anchor`` picks the registration target for each new frame:
+
+        - ``"keyframe"`` (default): register against a fixed keyframe's
+          features for as long as the keyframe still yields at least
+          ``config.match.pair_threshold`` ratio matches (the reference's
+          THRESHOLD, ImageProcess.h:18), then promote the previous frame
+          to keyframe. Registration error accumulates only across
+          keyframe *switches*, not every frame.
+        - ``"previous"``: register against the immediately previous
+          frame (error compounds per frame; kept for comparison and for
+          scenes with very low inter-frame overlap).
+        """
+        if anchor not in ("keyframe", "previous"):
+            raise ValueError(f"unknown anchor mode {anchor!r}")
         self.config = config
         self.max_width = max_width
         self.project = project
+        self.anchor = anchor
         self._result = None           # device [H, W, 3] float32
-        self._feats = None            # Features in canvas coords
+        self._feats = None            # prev frame Features, canvas coords
+        self._kf_feats = None         # keyframe Features, canvas coords
         self._n_frames = 0
+        self.n_keyframe_switches = 0
 
     def _prepare(self, frame: np.ndarray):
         img = jnp.asarray(np.asarray(frame)).astype(jnp.float32)
@@ -71,12 +89,25 @@ class StreamingStitcher:
         if self._result is None:
             self._result = img
             self._feats = feats
+            self._kf_feats = feats
             self._n_frames = 1
             return tuple(self._result.shape[:2])
 
         # per-frame edge id -> distinct RANSAC draws per frame
+        target = (self._kf_feats if self.anchor == "keyframe"
+                  else self._feats)
         forward, backward, n_matches, ovf = register_edge(
-            self._feats, feats, cfg, self._n_frames)
+            target, feats, cfg, self._n_frames)
+        if (self.anchor == "keyframe"
+                and int(np.asarray(n_matches)) < cfg.match.pair_threshold):
+            # keyframe fell out of view: promote the previous frame and
+            # re-register against it (drift resets to the promotion point)
+            self._kf_feats = self._feats
+            self.n_keyframe_switches += 1
+            obs.log("stream_keyframe", frame=self._n_frames,
+                    stale_matches=int(np.asarray(n_matches)))
+            forward, backward, n_matches, ovf = register_edge(
+                self._kf_feats, feats, cfg, self._n_frames)
         if int(np.asarray(ovf)) > 0:
             obs.warn("match_overflow", frame=self._n_frames,
                     dropped=int(np.asarray(ovf)),
@@ -97,10 +128,14 @@ class StreamingStitcher:
                                    cfg.blend.blur_impl)
         self._result = trunc_u8(blended)
 
-        # the new frame's features become the registration anchor
+        # the new frame's features become the prev-frame anchor; the
+        # keyframe's features ride the canvas-origin shift (the old result
+        # moved by the int-truncated mins, ImageProcess.cpp:227)
         self._feats = _update_features_by_warp(
             feats, jnp.asarray(both[0]), jnp.float32(min_x),
             jnp.float32(min_y), cfg.warp_model)
+        self._kf_feats = _update_features_by_offset(
+            self._kf_feats, jnp.float32(int(min_x)), jnp.float32(int(min_y)))
         self._n_frames += 1
 
         if self.max_width and self._result.shape[1] > self.max_width:
@@ -108,6 +143,8 @@ class StreamingStitcher:
             self._result = self._result[:, drop:]
             self._feats = _update_features_by_offset(
                 self._feats, jnp.float32(drop), jnp.float32(0))
+            self._kf_feats = _update_features_by_offset(
+                self._kf_feats, jnp.float32(drop), jnp.float32(0))
         obs.log("stream", frame=self._n_frames,
                 canvas=tuple(self._result.shape[:2]),
                 matches=int(np.asarray(n_matches)))

@@ -51,6 +51,10 @@ def main():
     args = ap.parse_args()
 
     import jax
+    # persistent compile cache: 1080p cold compiles run minutes; repeat
+    # invocations of this script should only pay them once
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     from jax import lax
 

