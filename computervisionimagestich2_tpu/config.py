@@ -32,9 +32,12 @@ class SiftConfig:
     n_desc_ori_bins: int = 8      # NBO, vl/sift.c:18
     max_angles: int = 4           # <=4 orientations per keypoint, sift.c:1018
     # Static capacity knobs (TPU-native: dense masks instead of realloc,
-    # replacing the dynamic keys buffer at vl/sift.c:580-590).
-    max_keypoints_per_octave: int = 2048
-    max_keypoints: int = 2048     # total after orientation expansion
+    # replacing the dynamic keys buffer at vl/sift.c:580-590). 0 = auto:
+    # scale with the input pixel count at trace time, so high-resolution
+    # inputs keep every keypoint the reference's dynamic buffers would
+    # (a fixed 2048 cap measurably truncated 1080p photos — ~4.5k found).
+    max_keypoints_per_octave: int = 0
+    max_keypoints: int = 0        # total after orientation expansion
     # Per-keypoint orientation/descriptor backend: "auto" uses the Pallas
     # keypoint-walk kernels (ops/pallas_sift.py) on TPU and the dense XLA
     # batch elsewhere; "on"/"off" force a choice. Note the Pallas kernels

@@ -54,12 +54,21 @@ def n_levels(h: int, w: int, mode: str = "max") -> int:
     return int(math.floor(math.log2(ext)))
 
 
-def half_plane_mask(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+def half_plane_mask(a: jnp.ndarray, b: jnp.ndarray,
+                    content_h: jnp.ndarray | int | None = None) -> jnp.ndarray:
     """Vertical half-plane seam mask from the mid-row overlap centroid
     (blendTwoImages, ImageProcess.cpp:650-698). Returns [H, W] float32 of
-    {0, 1}: 1 where canvas ``a`` wins at pyramid level 0."""
+    {0, 1}: 1 where canvas ``a`` wins at pyramid level 0.
+
+    ``content_h``: when the canvas is bucket-padded (exact_canvas=False),
+    the panorama content occupies rows [0, content_h) and the rest is zero.
+    The seam row must be the CONTENT's mid-height row — the padded canvas's
+    h//2 reads a different (possibly empty) row than the exact-canvas
+    blend, which can flip the whole seam. Traced (not static): the mid row
+    is a dynamic slice, so distinct content extents share one compiled
+    blend per bucketed canvas shape."""
     h, w = a.shape[0], a.shape[1]
-    mid = h // 2
+    mid = (h if content_h is None else content_h) // 2
     row_a = a[mid, :, 0]
     row_b = b[mid, :, 0]
     xs = jnp.arange(w, dtype=jnp.float32)
@@ -122,14 +131,18 @@ def blend_stacked(s0: jnp.ndarray, levels: int,
 def blend_two_images(a: jnp.ndarray, b: jnp.ndarray,
                      level_mode: str = "max",
                      blur_sigma: float = 2.0,
-                     blur_impl: str = "fir") -> jnp.ndarray:
+                     blur_impl: str = "fir",
+                     content_h: jnp.ndarray | int | None = None
+                     ) -> jnp.ndarray:
     """Blend canvas a (new warped image) over b (previous result).
 
     a, b: [H, W, 3] float32 (u8 values). Returns the blended float canvas
     (the caller truncates to u8, as the reference's CImg assignment does).
+    ``content_h``: content row extent when the canvas is bucket-padded —
+    see half_plane_mask. Traced, so it adds no compile variants.
     """
     h, w = a.shape[0], a.shape[1]
     levels = n_levels(h, w, level_mode)
-    mask0 = half_plane_mask(a, b)
+    mask0 = half_plane_mask(a, b, content_h)
     s0 = jnp.concatenate([a, b, mask0[..., None]], axis=-1)
     return blend_stacked(s0, levels, blur_sigma, blur_impl)

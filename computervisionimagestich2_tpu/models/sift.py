@@ -82,8 +82,21 @@ def keypoint_capacity(h: int, w: int, cap_max: int) -> int:
     natural images are ~1 keypoint per 500 px at these settings; 1/128 px
     leaves ~4x headroom while keeping the per-keypoint orientation and
     descriptor batches (the dominant SIFT cost) proportional to octave
-    area instead of a global worst case."""
-    return max(128, min((h * w) // 128, cap_max))
+    area instead of a global worst case. cap_max == 0 means auto (8192 —
+    the area term is the binding constraint for any input below ~4k)."""
+    return max(128, min((h * w) // 128, cap_max or 8192))
+
+
+def total_keypoint_capacity(h: int, w: int, cap_max: int) -> int:
+    """Static final feature capacity for an input of h x w pixels.
+
+    Auto (cap_max == 0) scales 1 slot / 256 px: 2048 at the app's native
+    384x512 (where it never binds), 6075 at 1080p (measured need ~4.5k —
+    the fixed 2048 default dropped 2.4k keypoints there, a parity break vs
+    the reference's realloc'd buffers, vl/sift.c:580-590)."""
+    if cap_max:
+        return cap_max
+    return max(2048, min((h * w) // 256, 16384))
 
 
 @partial(jax.jit, static_argnames=("cfg", "octave_index"))
@@ -234,7 +247,8 @@ def sift_extract_stats(gray: jnp.ndarray,
     valid = jnp.concatenate([p[3] for p in per_octave])
     stats3 = sum(p[4] for p in per_octave)
 
-    cap = cfg.max_keypoints
+    cap = total_keypoint_capacity(gray.shape[-2], gray.shape[-1],
+                                  cfg.max_keypoints)
     idx, out_valid = sk.compact_indices(valid, cap)
     final_dropped = jnp.maximum(jnp.sum(valid.astype(jnp.int32)) - cap, 0)
     feats = Features(desc=desc[idx], xy=xy[idx], scale=sigma[idx],

@@ -99,7 +99,7 @@ def _composite_and_blend(proj_dst, result, bwd, min_x, min_y,
         a = gain_compensate(a, b)
     blended = blend_two_images(a, b, cfg.blend.level_mode,
                                cfg.blend.blur_sigma,
-                               cfg.blend.blur_impl)
+                               cfg.blend.blur_impl, out_hw[0])
     return trunc_u8(blended[:out_hw[0], :out_hw[1]])
 
 
@@ -315,7 +315,7 @@ class Stitcher:
 
         blended = blend_two_images(a, b, cfg.blend.level_mode,
                                    cfg.blend.blur_sigma,
-                                   cfg.blend.blur_impl)
+                                   cfg.blend.blur_impl, new_h)
         return trunc_u8(blended[:new_h, :new_w]), dst_i
 
     def _stitch_planned(self, result, projected, edge_seq):

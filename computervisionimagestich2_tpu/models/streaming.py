@@ -114,18 +114,19 @@ class StreamingStitcher:
                     capacity=cfg.match.max_matches)
         both = np.asarray(jnp.stack([forward, backward]))
 
-        new_h, new_w, min_x, min_y = compose.canvas_plan(
+        ext_h, ext_w, min_x, min_y = compose.canvas_plan(
             both[0], img.shape[:2], self._result.shape[:2], cfg.warp_model)
-        # bucket the canvas to bound recompilation
-        new_h = _bucket(new_h, cfg.canvas_bucket)
-        new_w = _bucket(new_w, cfg.canvas_bucket)
+        # bucket the canvas to bound recompilation; the pre-bucket extents
+        # stay the seam-row content bound (models.blender.half_plane_mask)
+        new_h = _bucket(ext_h, cfg.canvas_bucket)
+        new_w = _bucket(ext_w, cfg.canvas_bucket)
 
         a, b = compose.composite(img, self._result, backward,
                                  min_x, min_y, (new_h, new_w),
                                  cfg.warp_model)
         blended = blend_two_images(a, b, cfg.blend.level_mode,
                                    cfg.blend.blur_sigma,
-                                   cfg.blend.blur_impl)
+                                   cfg.blend.blur_impl, ext_h)
         self._result = trunc_u8(blended)
 
         # the new frame's features become the prev-frame anchor; the

@@ -81,7 +81,7 @@ def _hat_circular(v, n: int):
 
 # ------------------------------------------------------------- descriptors
 def _desc_kernel(nv_ref, yx_ref, par_ref, mod_hbm, ang_hbm,
-                 desc_ref, pm, pa, sems, *,
+                 desc_ref, pm, pa, sems, acc, *,
                  radius: int, w: int, h: int, magnif: float,
                  window_size: float, nbp: int, nbo: int):
     i = pl.program_id(0)
@@ -109,8 +109,6 @@ def _desc_kernel(nv_ref, yx_ref, par_ref, mod_hbm, ang_hbm,
         slot = i % 2
         _patch_copy(mod_hbm, yx_ref, i, pm, slot, sems.at[:, 0], p).wait()
         _patch_copy(ang_hbm, yx_ref, i, pa, slot, sems.at[:, 1], p).wait()
-        m = pm[slot]
-        a = pa[slot]
 
         x = par_ref[i, 0]
         y = par_ref[i, 1]
@@ -124,9 +122,16 @@ def _desc_kernel(nv_ref, yx_ref, par_ref, mod_hbm, ang_hbm,
 
         dy0 = yi0 - ((yi0 >> 3) << 3)
         dx0 = xi0 - ((xi0 >> 7) << 7)
-        col = jax.lax.broadcasted_iota(jnp.int32, (_rows(p), 2 * _LANES), 1)
-        row = jax.lax.broadcasted_iota(jnp.int32, (_rows(p), 2 * _LANES), 0)
-        cr = col - dx0                  # col relative to the window start
+        # rotate the lane-alignment residual away: the window then starts
+        # at lane 0 and fits p <= 128 lanes, so every elementwise/reduce op
+        # below runs on half the lanes of the raw [rows, 256] DMA buffer
+        shift = jax.lax.rem(2 * _LANES - dx0, 2 * _LANES)
+        m = pltpu.roll(pm[slot], shift, axis=1)[:, :_LANES]
+        a = pltpu.roll(pa[slot], shift, axis=1)[:, :_LANES]
+
+        col = jax.lax.broadcasted_iota(jnp.int32, (_rows(p), _LANES), 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, (_rows(p), _LANES), 0)
+        cr = col                        # col relative to the window start
         rr = row - dy0
         dxi = cr.astype(jnp.float32) - radius
         dyi = rr.astype(jnp.float32) - radius
@@ -155,17 +160,23 @@ def _desc_kernel(nv_ref, yx_ref, par_ref, mod_hbm, ang_hbm,
 
         planes = [base * _hat_circular(nt - t, nbo) for t in range(nbo)]
 
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+        # per-bin LANE-PARTIAL sums land as rows of the [128, 128] acc
+        # scratch (a cheap sublane reduce per bin); ONE ones-matmul then
+        # collapses the lane axis for all 128 bins at once — this replaces
+        # a full cross-lane reduce + one-hot select PER BIN (the previous
+        # loop body was ~5x the cost of the multiply it wrapped)
         half = nbp // 2
-        dvec = jnp.zeros((1, _LANES), jnp.float32)
         for byi in range(nbp):
             hy = _hat(ny - (byi - half + 0.5))
             for bxi in range(nbp):
                 ws = hy * _hat(nx - (bxi - half + 0.5))
                 for t in range(nbo):
-                    s = jnp.sum(ws * planes[t])
                     lane_id = (byi * nbp + bxi) * nbo + t
-                    dvec = dvec + jnp.where(lane == lane_id, s, 0.0)
+                    acc[pl.ds(lane_id, 1), :] = jnp.sum(
+                        ws * planes[t], axis=0, keepdims=True)
+        ones = jnp.ones((1, _LANES), jnp.float32)
+        dvec = jax.lax.dot_general(ones, acc[...], (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
 
         norm1 = jnp.sqrt(jnp.sum(dvec * dvec)) + EPSILON_F
         d = jnp.minimum(dvec / norm1, 0.2)
@@ -220,6 +231,7 @@ def descriptors_pallas(mod_pad: jnp.ndarray, ang_pad: jnp.ndarray,
                 pltpu.VMEM((2, _rows(p), 2 * _LANES), jnp.float32),
                 pltpu.VMEM((2, _rows(p), 2 * _LANES), jnp.float32),
                 pltpu.SemaphoreType.DMA((2, 2)),
+                pltpu.VMEM((_LANES, _LANES), jnp.float32),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((n, _LANES), jnp.float32),
@@ -231,7 +243,7 @@ def descriptors_pallas(mod_pad: jnp.ndarray, ang_pad: jnp.ndarray,
 
 # ------------------------------------------------------------ orientations
 def _ori_kernel(nv_ref, yx_ref, par_ref, mod_hbm, ang_hbm, hist_ref,
-                pm, pa, sems, *, radius: int, w: int, h: int,
+                pm, pa, sems, acc, *, radius: int, w: int, h: int,
                 n_bins: int, winf: float):
     i = pl.program_id(0)
     nv = nv_ref[0]
@@ -258,8 +270,6 @@ def _ori_kernel(nv_ref, yx_ref, par_ref, mod_hbm, ang_hbm, hist_ref,
         slot = i % 2
         _patch_copy(mod_hbm, yx_ref, i, pm, slot, sems.at[:, 0], p).wait()
         _patch_copy(ang_hbm, yx_ref, i, pa, slot, sems.at[:, 1], p).wait()
-        m = pm[slot]
-        a = pa[slot]
 
         x = par_ref[i, 0]
         y = par_ref[i, 1]
@@ -272,9 +282,14 @@ def _ori_kernel(nv_ref, yx_ref, par_ref, mod_hbm, ang_hbm, hist_ref,
 
         dy0 = yi0 - ((yi0 >> 3) << 3)
         dx0 = xi0 - ((xi0 >> 7) << 7)
-        col = jax.lax.broadcasted_iota(jnp.int32, (_rows(p), 2 * _LANES), 1)
-        row = jax.lax.broadcasted_iota(jnp.int32, (_rows(p), 2 * _LANES), 0)
-        cr = col - dx0                  # col relative to the window start
+        # see _desc_kernel: rotate the residual away, compute on 128 lanes
+        shift = jax.lax.rem(2 * _LANES - dx0, 2 * _LANES)
+        m = pltpu.roll(pm[slot], shift, axis=1)[:, :_LANES]
+        a = pltpu.roll(pa[slot], shift, axis=1)[:, :_LANES]
+
+        col = jax.lax.broadcasted_iota(jnp.int32, (_rows(p), _LANES), 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, (_rows(p), _LANES), 0)
+        cr = col                        # col relative to the window start
         rr = row - dy0
         dxi = cr.astype(jnp.float32) - radius
         dyi = rr.astype(jnp.float32) - radius
@@ -296,13 +311,17 @@ def _ori_kernel(nv_ref, yx_ref, par_ref, mod_hbm, ang_hbm, hist_ref,
         wgt = jnp.exp(-r2 / (2.0 * sigmaw * sigmaw))
         mw = jnp.where(sel, m * wgt, 0.0) * okf
 
+        # see _desc_kernel: per-bin lane-partial rows + one matmul reduce
+        # (output lanes >= n_bins carry scratch garbage; the caller slices
+        # them away)
         fbin = n_bins * a / TWO_PI - 0.5
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
-        hvec = jnp.zeros((1, _LANES), jnp.float32)
         for b in range(n_bins):
-            s = jnp.sum(mw * _hat_circular(fbin - b, n_bins))
-            hvec = hvec + jnp.where(lane == b, s, 0.0)
-        hist_ref[pl.ds(i, 1), :] = hvec
+            acc[pl.ds(b, 1), :] = jnp.sum(
+                mw * _hat_circular(fbin - b, n_bins), axis=0, keepdims=True)
+        ones = jnp.ones((1, _LANES), jnp.float32)
+        hist_ref[pl.ds(i, 1), :] = jax.lax.dot_general(
+            ones, acc[...], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
 
 @partial(jax.jit, static_argnames=("radius", "w", "h", "n_bins", "winf",
@@ -345,6 +364,7 @@ def orientation_hist_pallas(mod_pad: jnp.ndarray, ang_pad: jnp.ndarray,
                 pltpu.VMEM((2, _rows(p), 2 * _LANES), jnp.float32),
                 pltpu.VMEM((2, _rows(p), 2 * _LANES), jnp.float32),
                 pltpu.SemaphoreType.DMA((2, 2)),
+                pltpu.VMEM((_LANES, _LANES), jnp.float32),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((n, _LANES), jnp.float32),

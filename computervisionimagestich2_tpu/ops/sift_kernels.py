@@ -146,10 +146,20 @@ def _refine_fields(dog: jnp.ndarray, w: int, h: int, peak_thresh: float,
     s slices are garbage but unreachable (candidates are interior and steps
     are bounds-clamped, mirroring sift.c:733-739).
     """
-    c = dog
-    xp1, xm1 = _shift2(c, 0, 1), _shift2(c, 0, -1)
-    yp1, ym1 = _shift2(c, 1, 0), _shift2(c, -1, 0)
-    sp1, sm1 = jnp.roll(c, -1, axis=0), jnp.roll(c, 1, axis=0)
+    # candidates only live on the interior s slices (extrema_mask slice s ->
+    # dog level s+1), and the position chase never moves in s — so the solve
+    # and acceptance fields are computed ONLY on dog[1:-1]. The +-1 s-shifts
+    # become static slices of the full-stack stencils (the jnp.roll wrap
+    # values were garbage-but-unreachable; slicing deletes that work and
+    # halves the dense-field traffic for the S+3=5-level app configuration).
+    full = dog
+    xp1f, xm1f = _shift2(full, 0, 1), _shift2(full, 0, -1)
+    yp1f, ym1f = _shift2(full, 1, 0), _shift2(full, -1, 0)
+
+    c = full[1:-1]
+    xp1, xm1 = xp1f[1:-1], xm1f[1:-1]
+    yp1, ym1 = yp1f[1:-1], ym1f[1:-1]
+    sp1, sm1 = full[2:], full[:-2]
 
     dx_ = 0.5 * (xp1 - xm1)
     dy_ = 0.5 * (yp1 - ym1)
@@ -159,10 +169,8 @@ def _refine_fields(dog: jnp.ndarray, w: int, h: int, peak_thresh: float,
     dss = sp1 + sm1 - 2 * c
     dxy = 0.25 * (_shift2(c, 1, 1) + _shift2(c, -1, -1)
                   - _shift2(c, 1, -1) - _shift2(c, -1, 1))
-    dxs = 0.25 * (jnp.roll(xp1, -1, 0) + jnp.roll(xm1, 1, 0)
-                  - jnp.roll(xm1, -1, 0) - jnp.roll(xp1, 1, 0))
-    dys = 0.25 * (jnp.roll(yp1, -1, 0) + jnp.roll(ym1, 1, 0)
-                  - jnp.roll(ym1, -1, 0) - jnp.roll(yp1, 1, 0))
+    dxs = 0.25 * (xp1f[2:] + xm1f[:-2] - xm1f[2:] - xp1f[:-2])
+    dys = 0.25 * (yp1f[2:] + ym1f[:-2] - ym1f[2:] - yp1f[:-2])
 
     # dense 3x3 adjugate solve: A b = -[dx, dy, ds]
     co_a = dyy * dss - dys * dys
@@ -193,7 +201,8 @@ def _refine_fields(dog: jnp.ndarray, w: int, h: int, peak_thresh: float,
     score = (dxx + dyy) ** 2 / jnp.where(den == 0, 1e-30, den)
     xn = xs.astype(jnp.float32) + b0
     yn = ys.astype(jnp.float32) + b1
-    sn = (ss + s_min).astype(jnp.float32) + b2
+    # sliced slice index ss maps to dog level ss+1
+    sn = (ss + 1 + s_min).astype(jnp.float32) + b2
     te = edge_thresh
     ok = (jnp.abs(val) > peak_thresh) \
         & (score < (te + 1.0) * (te + 1.0) / te) & (score >= 0) \
@@ -226,10 +235,12 @@ def refine_keypoints(dog: jnp.ndarray, coords: jnp.ndarray, valid: jnp.ndarray,
     sx_flat = step_x.reshape(-1)
     sy_flat = step_y.reshape(-1)
 
+    # the fields cover only the interior dog slices: mask slice s (= dog
+    # level s+1) is field slice s
     s_dog = coords[:, 0] + 1
     y = coords[:, 1]
     x = coords[:, 2]
-    base = s_dog * (hh * ww)
+    base = coords[:, 0] * (hh * ww)
 
     def chase(_, carry):
         x, y = carry

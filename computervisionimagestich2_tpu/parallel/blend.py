@@ -172,7 +172,9 @@ def plan_shard_levels(h: int, levels: int, n: int, blur_sigma: float) -> int:
 def sharded_blend_two_images(a: jnp.ndarray, b: jnp.ndarray, mesh: Mesh,
                              axis_name: str = "sp",
                              level_mode: str = "max",
-                             blur_sigma: float = 2.0) -> jnp.ndarray:
+                             blur_sigma: float = 2.0,
+                             content_h: jnp.ndarray | int | None = None
+                             ) -> jnp.ndarray:
     """blend_two_images with canvas rows sharded over ``mesh[axis_name]``.
 
     a, b: [H, W, 3] float32 u8-valued canvases. The leading
@@ -237,7 +239,7 @@ def sharded_blend_two_images(a: jnp.ndarray, b: jnp.ndarray, mesh: Mesh,
             expand = jnp.clip(blended + upx, 0.0, 255.0)
         return expand
 
-    mask0 = half_plane_mask(a, b)
+    mask0 = half_plane_mask(a, b, content_h)
     stacked = jnp.concatenate([a, b, mask0[..., None]], axis=-1)
     row_sharding = NamedSharding(mesh, P(axis_name, None, None))
     stacked = jax.device_put(stacked, row_sharding)

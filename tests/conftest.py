@@ -41,6 +41,10 @@ def input_images():
     return [load_image(f"{REFERENCE}/Input/{i}.bmp") for i in range(1, 5)]
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    """Function-scoped: each test draws from a fresh seed-0 stream, so test
+    data never depends on which tests ran before (a session-scoped stream
+    made gates order-dependent: adding a test upstream reshuffled every
+    later test's scene)."""
     return np.random.default_rng(0)

@@ -179,3 +179,34 @@ def test_canvas_plan_translation():
     assert mx == -50.0 and nw == 250
     # y' in [10, 109] -> min_y=0, max_y=max(109,100)=109 -> h=109
     assert my == 0.0 and nh == 109
+
+
+def test_half_plane_mask_bucket_padding_uses_content_mid_row():
+    """Bucket-padded canvases (exact_canvas=False, the default) must derive
+    the seam from the CONTENT's mid-height row. Without content_hw the
+    padded canvas's h//2 can land on a row where the warped image has no
+    pixels, producing a degenerate centroid and a flipped seam (the
+    order-dependent test_bucketed_canvas_matches_exact failure)."""
+    from computervisionimagestich2_tpu.models.blender import half_plane_mask
+
+    ch, cw = 96, 200                 # content extent
+    ph, pw = 128, 256                # bucket-padded canvas
+    a = np.zeros((ch, cw, 3), np.float32)
+    b = np.zeros((ch, cw, 3), np.float32)
+    a[:60, 100:200] = 120.0          # new warped image: rows < 60 only
+    b[:96, 0:140] = 90.0             # previous result
+    ap = np.zeros((ph, pw, 3), np.float32)
+    bp = np.zeros((ph, pw, 3), np.float32)
+    ap[:ch, :cw] = a
+    bp[:ch, :cw] = b
+
+    m_exact = np.asarray(half_plane_mask(a, b))
+    m_pad = np.asarray(half_plane_mask(ap, bp, ch))
+    # same seam column: the padded mask restricted to content equals the
+    # exact mask (identical mid row, identical centroid sums)
+    np.testing.assert_array_equal(m_pad[:ch, :cw], m_exact)
+
+    # the padded canvas's own mid row (64) has no a-content: without
+    # content_hw the centroid degenerates and the seam flips sides
+    m_bug = np.asarray(half_plane_mask(ap, bp))
+    assert not np.array_equal(m_bug[:ch, :cw], m_exact)
