@@ -35,6 +35,10 @@ def main(argv=None):
                    help="bilinear = reference-exact; projective = true DLT")
     p.add_argument("--gain-compensation", action="store_true",
                    help="match overlap luma before blending")
+    p.add_argument("--color-transfer", action="store_true",
+                   help="per-edge Reinhard color transfer of each incoming "
+                        "image toward its stitch partner (the reference's "
+                        "disabled call, ImageProcess.cpp:180)")
     p.add_argument("--exact-canvas", action="store_true",
                    help="composite/blend at the reference's exact canvas "
                         "size per edge (bitwise parity mode; one XLA "
@@ -88,7 +92,11 @@ def main(argv=None):
 
     cfg = dataclasses.replace(DEFAULT_CONFIG, ordering=args.ordering,
                               warp_model=args.warp_model,
-                              exact_canvas=args.exact_canvas)
+                              exact_canvas=args.exact_canvas,
+                              color_transfer=args.color_transfer)
+    if args.no_enhance:
+        cfg = dataclasses.replace(
+            cfg, enhance=dataclasses.replace(cfg.enhance, enabled=False))
     if args.ordering == "chain":
         cfg = dataclasses.replace(
             cfg, enhance=dataclasses.replace(cfg.enhance, mix_weight=5.0 / 6.0),

@@ -133,6 +133,8 @@ class BlendConfig:
 class EnhanceConfig:
     """Histogram equalization + YCbCr luma mix (ImageProcess.cpp:237-270)."""
 
+    # Run the equalization/luma-mix tail at all (CLI --no-enhance clears it).
+    enabled: bool = True
     # Reference quirk: Y uses 0.857 for G instead of 0.587 at all three
     # conversion sites (ImageProcess.cpp:242,252; equalization.cpp:79).
     # compat=True reproduces it; compat=False uses the correct 0.587.
@@ -158,6 +160,12 @@ class StitchConfig:
     # (ImageProcess.cpp:101-147); "chain" = ex6's pre-ordered left-to-right
     # adjacency (src/ex6/ImageProcess.cpp:150-159).
     ordering: str = "graph"
+    # Per-edge Reinhard color transfer of the incoming image toward its
+    # stitch partner — the reference compiles transfer.cpp in and has this
+    # exact call commented out in the stitch loop (ImageProcess.cpp:180:
+    # ``transfer tran(imgs[dst].projectedSrc, imgs[src].projectedSrc,
+    # imgs[dst].projectedSrc)``). Off by default, like the reference.
+    color_transfer: bool = False
     # Canvas sizes are bucketed (rounded up) to bound XLA recompilation;
     # the TPU-native answer to the reference's unbounded canvas growth
     # (ImageProcess.cpp:215-219).

@@ -288,6 +288,15 @@ class Stitcher:
                     capacity=cfg.match.max_matches)
         both = np.asarray(jnp.stack([forward, backward]))
         fwd_host = both[0]
+        if cfg.color_transfer:
+            # the reference's disabled per-edge histogram normalization
+            # (ImageProcess.cpp:180): match the incoming image's color
+            # statistics to its stitch partner, writing back into the
+            # projected buffer (as the reference's in-place output arg does)
+            from .transfer import color_transfer
+
+            projected[dst_i] = color_transfer(projected[dst_i],
+                                              projected[src_i])
         src_shape = projected[dst_i].shape[:2]
         new_h, new_w, min_x, min_y = compose.canvas_plan(
             fwd_host, src_shape, result.shape[:2], cfg.warp_model)
@@ -333,7 +342,15 @@ class Stitcher:
                                      start_hw, cfg))
 
         n_coef = 9 if cfg.warp_model == "projective" else 8
+        if cfg.color_transfer:
+            from .transfer import color_transfer
         for k, (src_i, dst_i, pre_i) in enumerate(edge_seq):
+            if cfg.color_transfer:
+                # see _stitch_edge: the reference's disabled per-edge
+                # normalization (ImageProcess.cpp:180); features/plan are
+                # untouched (the reference transfers after getImgPair)
+                projected[dst_i] = color_transfer(projected[dst_i],
+                                                  projected[src_i])
             bwd = jnp.asarray(plan[k, 9:9 + n_coef])
             min_x, min_y = float(plan[k, 18]), float(plan[k, 19])
             new_w, new_h = int(plan[k, 20]), int(plan[k, 21])
@@ -442,8 +459,11 @@ class Stitcher:
             jax.block_until_ready(result)
 
         with self._timer.stage("enhance"):
-            final = equalize_and_mix(result, cfg.enhance.compat_luma,
-                                     cfg.enhance.mix_weight)
+            if cfg.enhance.enabled:
+                final = equalize_and_mix(result, cfg.enhance.compat_luma,
+                                         cfg.enhance.mix_weight)
+            else:
+                final = result
             # convert on device: the readback is u8, not f32 (4x traffic)
             final = np.asarray(final.astype(jnp.uint8))
         if self.artifact_dir:

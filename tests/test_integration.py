@@ -248,3 +248,54 @@ def test_resume_from_features_identical(tmp_path, rng):
     st3 = Stitcher(cfg, artifact_dir=str(tmp_path / "empty"))
     out3 = st3.stitch([left, right], resume=True)
     np.testing.assert_array_equal(out_full, out3)
+
+
+@pytest.mark.parametrize("planned", [True, False])
+def test_color_transfer_edge_option(rng, planned):
+    """cfg.color_transfer applies the reference's disabled per-edge Reinhard
+    normalization (ImageProcess.cpp:180): a color-cast incoming image is
+    pulled toward its stitch partner's statistics before compositing.
+    Exercises both the planned and the incremental edge loops."""
+    scene = make_scene(rng)
+    left = scene[:, :140].astype(np.float64)
+    right = scene[:, 60:].astype(np.float64)
+    # warm cast on the right image only — mild enough that SIFT
+    # registration still succeeds (grayscale shifts with the cast)
+    cast = np.clip(right * [1.2, 1.0, 0.8], 0, 255).astype(np.uint8)
+    left = left.astype(np.uint8)
+
+    base = dataclasses.replace(
+        SMALL, ordering="chain", planned=planned,
+        enhance=dataclasses.replace(SMALL.enhance, enabled=False))
+    out_plain = Stitcher(base).stitch([left, cast])
+    out_xfer = Stitcher(
+        dataclasses.replace(base, color_transfer=True)).stitch([left, cast])
+
+    def rb_ratio(region):
+        region = region.astype(np.float64)
+        return region[..., 0].mean() / max(region[..., 2].mean(), 1e-6)
+
+    def halves_gap(img):
+        # red/blue balance disagreement between the two canvas ends
+        # (left-image vs cast-image territory)
+        return abs(rb_ratio(img[:120, :60]) - rb_ratio(img[:120, -60:]))
+
+    # registration must have succeeded for the gap comparison to mean much
+    assert out_plain.shape[1] <= 230 and out_xfer.shape[1] <= 230
+    # transfer pulls one image's statistics onto the other's (direction
+    # follows the stitch order), so the panorama ends agree more
+    assert halves_gap(out_xfer) < halves_gap(out_plain)
+
+
+def test_no_enhance_skips_equalization(rng):
+    """EnhanceConfig.enabled=False returns the blended canvas without the
+    equalization/luma-mix tail (the CLI's --no-enhance)."""
+    scene = make_scene(rng)
+    left, right = scene[:, :140], scene[:, 60:]
+    cfg = dataclasses.replace(SMALL, ordering="chain")
+    out_on = Stitcher(cfg).stitch([left, right])
+    out_off = Stitcher(dataclasses.replace(
+        cfg, enhance=dataclasses.replace(cfg.enhance, enabled=False))
+    ).stitch([left, right])
+    assert out_on.shape == out_off.shape
+    assert not np.array_equal(out_on, out_off)
