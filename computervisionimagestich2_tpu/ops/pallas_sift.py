@@ -164,16 +164,22 @@ def _desc_kernel(nv_ref, yx_ref, par_ref, mod_hbm, ang_hbm,
         # scratch (a cheap sublane reduce per bin); ONE ones-matmul then
         # collapses the lane axis for all 128 bins at once — this replaces
         # a full cross-lane reduce + one-hot select PER BIN (the previous
-        # loop body was ~5x the cost of the multiply it wrapped)
+        # loop body was ~5x the cost of the multiply it wrapped).
+        # The nbo partial rows of one spatial cell are stored TOGETHER:
+        # bin ids (byi*nbp+bxi)*nbo + t are consecutive over t, so each
+        # store is a sublane-tile-aligned [nbo, 128] block instead of nbo
+        # separate (1, 128) read-modify-write stores (nbo == 8 == the f32
+        # sublane tile; unaligned single-row stores measured ~100 us each
+        # when they are the only work in a grid step)
         half = nbp // 2
         for byi in range(nbp):
             hy = _hat(ny - (byi - half + 0.5))
             for bxi in range(nbp):
                 ws = hy * _hat(nx - (bxi - half + 0.5))
-                for t in range(nbo):
-                    lane_id = (byi * nbp + bxi) * nbo + t
-                    acc[pl.ds(lane_id, 1), :] = jnp.sum(
-                        ws * planes[t], axis=0, keepdims=True)
+                cell = (byi * nbp + bxi) * nbo
+                acc[pl.ds(cell, nbo), :] = jnp.concatenate(
+                    [jnp.sum(ws * planes[t], axis=0, keepdims=True)
+                     for t in range(nbo)], axis=0)
         ones = jnp.ones((1, _LANES), jnp.float32)
         dvec = jax.lax.dot_general(ones, acc[...], (((1,), (1,)), ((), ())),
                                    preferred_element_type=jnp.float32)
@@ -311,13 +317,15 @@ def _ori_kernel(nv_ref, yx_ref, par_ref, mod_hbm, ang_hbm, hist_ref,
         wgt = jnp.exp(-r2 / (2.0 * sigmaw * sigmaw))
         mw = jnp.where(sel, m * wgt, 0.0) * okf
 
-        # see _desc_kernel: per-bin lane-partial rows + one matmul reduce
-        # (output lanes >= n_bins carry scratch garbage; the caller slices
-        # them away)
+        # see _desc_kernel: per-bin lane-partial rows + one matmul reduce,
+        # stored 8 bins (one f32 sublane tile) per aligned block store
+        # (output lanes >= n_bins carry scratch garbage — bins past n_bins
+        # in the last block included; the caller slices them away)
         fbin = n_bins * a / TWO_PI - 0.5
-        for b in range(n_bins):
-            acc[pl.ds(b, 1), :] = jnp.sum(
-                mw * _hat_circular(fbin - b, n_bins), axis=0, keepdims=True)
+        for g in range(0, n_bins, 8):
+            acc[pl.ds(g, 8), :] = jnp.concatenate(
+                [jnp.sum(mw * _hat_circular(fbin - (g + k), n_bins),
+                         axis=0, keepdims=True) for k in range(8)], axis=0)
         ones = jnp.ones((1, _LANES), jnp.float32)
         hist_ref[pl.ds(i, 1), :] = jax.lax.dot_general(
             ones, acc[...], (((1,), (1,)), ((), ())),
