@@ -42,6 +42,34 @@ def match_features(feats_a: Features, feats_b: Features,
                       n_raw=jnp.sum(ok.astype(jnp.int32)))
 
 
+@partial(jax.jit, static_argnames=("ratio", "distance", "max_matches",
+                                   "pallas"))
+def match_features_bidir(feats_a: Features, feats_b: Features,
+                         ratio: float = 0.5, distance: str = "l1",
+                         max_matches: int = 2048,
+                         pallas: str = "auto"):
+    """Both getImgPair directions from ONE distance evaluation.
+
+    Returns (ab, ba) with ab == match_features(feats_a, feats_b, ...) and
+    ba == match_features(feats_b, feats_a, ...) bit-identically; the
+    reference rebuilds the kd-forest and re-queries per direction
+    (ImageProcess.cpp:185-198), here the [NB, NA] distances are shared.
+    """
+    okb, idx_a, oka, idx_b = dist_ops.ratio_match_bidir(
+        feats_b.desc, feats_a.desc, feats_b.valid, feats_a.valid,
+        ratio, distance, pallas)
+
+    sel_b, valid_b = compact_indices(okb, max_matches)
+    ab = MatchPairs(src_xy=feats_a.xy[idx_a[sel_b]],
+                    dst_xy=feats_b.xy[sel_b], valid=valid_b,
+                    n_raw=jnp.sum(okb.astype(jnp.int32)))
+    sel_a, valid_a = compact_indices(oka, max_matches)
+    ba = MatchPairs(src_xy=feats_b.xy[idx_b[sel_a]],
+                    dst_xy=feats_a.xy[sel_a], valid=valid_a,
+                    n_raw=jnp.sum(oka.astype(jnp.int32)))
+    return ab, ba
+
+
 @partial(jax.jit, static_argnames=("ratio", "distance", "pallas"))
 def match_count(feats_a: Features, feats_b: Features,
                 ratio: float = 0.5, distance: str = "l1",

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from ..config import StitchConfig
 from ..core.types import Features, MatchPairs
-from .matcher import match_features
+from .matcher import match_features_bidir
 from .ransac import ransac_warp
 
 
@@ -34,10 +34,11 @@ def register_edge(feats_src: Features, feats_dst: Features,
     direction additionally folds its own tag so forward/backward never share
     sample indices. Deterministic across runs for a fixed seed."""
     mcfg = cfg.match
-    s2d = match_features(feats_src, feats_dst, mcfg.ratio_threshold,
-                         mcfg.distance, mcfg.max_matches)
-    d2s = match_features(feats_dst, feats_src, mcfg.ratio_threshold,
-                         mcfg.distance, mcfg.max_matches)
+    # both directions from one distance evaluation (the reference rebuilds
+    # the kd-forest per direction, ImageProcess.cpp:185-198)
+    s2d, d2s = match_features_bidir(feats_src, feats_dst,
+                                    mcfg.ratio_threshold, mcfg.distance,
+                                    mcfg.max_matches)
     # direction choice on the UNCAPPED counts (the reference compares the
     # full vector sizes, ImageProcess.cpp:185)
     n_s2d = s2d.n_raw
@@ -170,25 +171,32 @@ def all_pairs_match_counts(desc: jnp.ndarray, valid: jnp.ndarray,
     (ImageProcess.cpp:125-135). Cost parity too: for failing pairs the
     reference also computes both directions.
     """
-    from ..ops.distance import ratio_match
+    from ..ops.distance import ratio_match_bidir
 
     n = desc.shape[0]
     if n <= 1:
         # no pairs; a (0, 2)-shaped scan would slice 0-d elements
         return jnp.zeros((n, n), jnp.int32)
-    # scan over the ordered-pair list with gathered operands: the matcher
-    # body (a Pallas kernel on TPU) compiles ONCE and runs P times — a
-    # vmap here would need the Pallas batching rule, and an unrolled loop
-    # would compile P copies
+    # scan over the UNORDERED i<j pair list with gathered operands: the
+    # matcher body (a Pallas kernel on TPU) compiles ONCE and runs P times
+    # — a vmap here would need the Pallas batching rule, and an unrolled
+    # loop would compile P copies. The bidirectional matcher returns both
+    # ordered counts of a pair from one distance evaluation, so the
+    # triangle costs what the reference pays for its one-directional pass.
     pairs = jnp.asarray([(i, j) for i in range(n) for j in range(n)
-                         if i != j], jnp.int32)
+                         if i < j], jnp.int32)
 
     def body(carry, pair):
         i, j = pair[0], pair[1]
-        ok, _ = ratio_match(desc[j], desc[i], valid[j], valid[i],
-                            cfg.match.ratio_threshold, cfg.match.distance)
-        return carry, jnp.sum(ok.astype(jnp.int32))
+        # count[i, j] = |getImgPair(i, j)|: queries = j's descriptors
+        # against i's reference set (ImageProcess.cpp:117-137)
+        okq, _, okr, _ = ratio_match_bidir(
+            desc[j], desc[i], valid[j], valid[i],
+            cfg.match.ratio_threshold, cfg.match.distance)
+        return carry, jnp.stack([jnp.sum(okq.astype(jnp.int32)),
+                                 jnp.sum(okr.astype(jnp.int32))])
 
     _, counts = jax.lax.scan(body, jnp.int32(0), pairs)
     out = jnp.zeros((n, n), jnp.int32)
-    return out.at[pairs[:, 0], pairs[:, 1]].set(counts)
+    out = out.at[pairs[:, 0], pairs[:, 1]].set(counts[:, 0])
+    return out.at[pairs[:, 1], pairs[:, 0]].set(counts[:, 1])

@@ -91,12 +91,17 @@ def total_keypoint_capacity(h: int, w: int, cap_max: int) -> int:
     """Static final feature capacity for an input of h x w pixels.
 
     Auto (cap_max == 0) scales 1 slot / 256 px: 2048 at the app's native
-    384x512 (where it never binds), 6075 at 1080p (measured need ~4.5k —
+    384x512 (where it never binds), ~6.1k at 1080p (measured need ~4.5k —
     the fixed 2048 default dropped 2.4k keypoints there, a parity break vs
-    the reference's realloc'd buffers, vl/sift.c:580-590)."""
+    the reference's realloc'd buffers, vl/sift.c:580-590). Rounded UP to a
+    multiple of 128: the Pallas 2-NN matcher requires lane-tile-aligned
+    descriptor counts (ops.distance gate ``shape[0] % 128 == 0``) — an
+    unaligned cap silently demotes every match to the HBM-materialized XLA
+    path."""
     if cap_max:
         return cap_max
-    return max(2048, min((h * w) // 256, 16384))
+    cap = max(2048, min((h * w) // 256, 16384))
+    return -(-cap // 128) * 128
 
 
 @partial(jax.jit, static_argnames=("cfg", "octave_index"))

@@ -91,6 +91,67 @@ def two_nearest(qry: jnp.ndarray, ref: jnp.ndarray,
 
 
 @partial(jax.jit, static_argnames=("distance", "pallas"))
+def two_nearest_bidir(qry: jnp.ndarray, ref: jnp.ndarray,
+                      qry_valid: jnp.ndarray, ref_valid: jnp.ndarray,
+                      distance: str = "l1", pallas: str = "auto"):
+    """Both 2-NN directions from one distance evaluation.
+
+    Returns ((d1q, d2q, i1q), (d1r, d2r, i1r)): the first tuple equals
+    two_nearest(qry, ref, ...), the second the role-swapped
+    two_nearest(ref, qry, ...) — same distances up to f32 reduction-order
+    ulps (XLA may reassociate the feature reduce differently per matrix
+    orientation), same first-lowest-index tie-breaks — at half the
+    distance cost. The reference computes getImgPair twice per edge
+    (ImageProcess.cpp:185-198); the distance matrix it rebuilds per
+    direction is shared here.
+    """
+    if (distance == "l1" and _pallas_2nn_enabled(pallas)
+            and qry.shape[0] % 128 == 0 and ref.shape[0] % 128 == 0
+            and qry.shape[1] == 128):
+        from .pallas_distance import two_nearest_l1_bidir_pallas
+
+        return two_nearest_l1_bidir_pallas(qry, ref, qry_valid, ref_valid)
+    if distance == "l1":
+        d = pairwise_l1(qry, ref)
+    elif distance == "l2":
+        d = pairwise_l2sq(qry, ref)
+    else:
+        raise ValueError(distance)
+
+    def top2(dm, axis, q_ok, r_ok):
+        dm = jnp.where(r_ok, dm, BIG)
+        i1 = jnp.argmin(dm, axis=axis)
+        d1 = jnp.min(dm, axis=axis)
+        idx = jax.lax.broadcasted_iota(jnp.int32, dm.shape, axis)
+        sel = idx == jnp.expand_dims(i1, axis)
+        d2 = jnp.min(jnp.where(sel, BIG, dm), axis=axis)
+        d1 = jnp.where(q_ok, d1, BIG)
+        d2 = jnp.where(q_ok, d2, BIG)
+        return d1, d2, i1
+
+    fwd = top2(d, 1, qry_valid, ref_valid[None, :])
+    bwd = top2(d, 0, ref_valid, qry_valid[:, None])
+    return fwd, bwd
+
+
+@partial(jax.jit, static_argnames=("distance", "pallas"))
+def ratio_match_bidir(qry: jnp.ndarray, ref: jnp.ndarray,
+                      qry_valid: jnp.ndarray, ref_valid: jnp.ndarray,
+                      ratio: float = 0.5, distance: str = "l1",
+                      pallas: str = "auto"):
+    """Lowe ratio test in both directions from one distance evaluation.
+
+    Returns (ok_q [NB], i1_q [NB], ok_r [NA], i1_r [NA]): the q pair equals
+    ratio_match(qry, ref, ...), the r pair the role-swapped call.
+    """
+    (d1q, d2q, i1q), (d1r, d2r, i1r) = two_nearest_bidir(
+        qry, ref, qry_valid, ref_valid, distance, pallas)
+    okq = ((d1q / d2q) < ratio) & qry_valid & (d2q < BIG)
+    okr = ((d1r / d2r) < ratio) & ref_valid & (d2r < BIG)
+    return okq, i1q, okr, i1r
+
+
+@partial(jax.jit, static_argnames=("distance", "pallas"))
 def ratio_match(qry: jnp.ndarray, ref: jnp.ndarray,
                 qry_valid: jnp.ndarray, ref_valid: jnp.ndarray,
                 ratio: float = 0.5, distance: str = "l1",

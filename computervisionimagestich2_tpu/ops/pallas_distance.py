@@ -82,6 +82,164 @@ def _kernel(counts_ref, qry_ref, ref_ref, ref_valid_ref, d1_ref, d2_ref,
         i1_ref[0, :] = i1
 
 
+def _bidir_kernel(counts_ref, qry_ref, ref_ref, ref_valid_ref,
+                  d1q_ref, d2q_ref, i1q_ref, d1r_ref, d2r_ref, i1r_ref,
+                  cd1, cd2, ci1, *, ta: int, n_steps: int):
+    """Bidirectional variant: one pass over the distance tiles feeds BOTH
+    the per-query (row) top-2 and a per-reference (column) running top-2
+    kept in VMEM scratch across grid steps (TPU grids run sequentially);
+    the column results are copied out at the last step. Every distance is
+    computed once instead of once per direction."""
+    tb = qry_ref.shape[0]
+    i = pl.program_id(0)
+    nq = counts_ref[0]
+    nr = counts_ref[1]
+
+    @pl.when(i == 0)
+    def _():
+        cd1[...] = jnp.full_like(cd1, BIG)
+        cd2[...] = jnp.full_like(cd2, BIG)
+        ci1[...] = jnp.zeros_like(ci1)
+
+    @pl.when(i * tb >= nq)
+    def _():
+        d1q_ref[0, :] = jnp.full((tb,), BIG, jnp.float32)
+        d2q_ref[0, :] = jnp.full((tb,), BIG, jnp.float32)
+        i1q_ref[0, :] = jnp.zeros((tb,), jnp.int32)
+
+    @pl.when(i * tb < nq)
+    def _():
+        q = qry_ref[:]                                    # [TB, F]
+        rows = jax.lax.broadcasted_iota(jnp.int32, (tb, ta), 0)
+        qmask = (i * tb + rows) < nq                      # live query rows
+
+        def ref_tile(j, carry):
+            d1, d2, i1 = carry
+            row = pl.multiple_of(j * ta, ta)
+            vmask = ref_valid_ref[0, pl.ds(row, ta)]      # [TA]
+            rc = ref_ref[pl.ds(row, ta), :]               # [TA, F]
+            dist = jnp.sum(jnp.abs(q[:, None, :] - rc[None, :, :]), axis=-1)
+            dist = jnp.where(vmask[None, :] != 0, dist, BIG)
+
+            # row direction (queries): per-row top-2 of this tile
+            cols = jax.lax.broadcasted_iota(jnp.int32, (tb, ta), 1)
+            t1 = jnp.min(dist, axis=1)
+            a1 = jnp.argmin(dist, axis=1)
+            masked = jnp.where(cols == a1[:, None], BIG, dist)
+            t2 = jnp.min(masked, axis=1)
+            g1 = a1 + j * ta
+
+            new_d1 = jnp.minimum(d1, t1)
+            new_i1 = jnp.where(t1 < d1, g1, i1)
+            new_d2 = jnp.minimum(jnp.maximum(d1, t1), jnp.minimum(d2, t2))
+
+            # column direction (references): mask dead query rows, reduce
+            # over rows, merge into the running scratch top-2
+            distc = jnp.where(qmask, dist, BIG)
+            c1 = jnp.min(distc, axis=0)                   # [TA]
+            ca = jnp.argmin(distc, axis=0)
+            maskedc = jnp.where(rows == ca[None, :], BIG, distc)
+            c2 = jnp.min(maskedc, axis=0)
+            cg = ca + i * tb
+
+            od1 = cd1[0, pl.ds(row, ta)]
+            od2 = cd2[0, pl.ds(row, ta)]
+            oi1 = ci1[0, pl.ds(row, ta)]
+            cd1[0, pl.ds(row, ta)] = jnp.minimum(od1, c1)
+            ci1[0, pl.ds(row, ta)] = jnp.where(c1 < od1, cg, oi1)
+            cd2[0, pl.ds(row, ta)] = jnp.minimum(jnp.maximum(od1, c1),
+                                                 jnp.minimum(od2, c2))
+            return new_d1, new_d2, new_i1
+
+        init = (jnp.full((tb,), BIG), jnp.full((tb,), BIG),
+                jnp.zeros((tb,), jnp.int32))
+        n_live_ref_tiles = (nr + ta - 1) // ta
+        d1, d2, i1 = jax.lax.fori_loop(0, n_live_ref_tiles, ref_tile, init)
+        d1q_ref[0, :] = d1
+        d2q_ref[0, :] = d2
+        i1q_ref[0, :] = i1
+
+    @pl.when(i == n_steps - 1)
+    def _():
+        d1r_ref[...] = cd1[...]
+        d2r_ref[...] = cd2[...]
+        i1r_ref[...] = ci1[...]
+
+
+@functools.partial(jax.jit, static_argnames=("tb", "ta", "interpret"))
+def two_nearest_l1_bidir_pallas(qry: jnp.ndarray, ref: jnp.ndarray,
+                                qry_valid: jnp.ndarray,
+                                ref_valid: jnp.ndarray,
+                                tb: int = 128, ta: int = 128,
+                                interpret: bool = False):
+    """Both 2-NN directions from ONE distance evaluation. Returns
+    ((d1q, d2q, i1q), (d1r, d2r, i1r)): the q-tuple is queries=qry vs
+    refs=ref (identical to two_nearest_l1_pallas(qry, ref, ...)), the
+    r-tuple is queries=ref vs refs=qry (identical to the swapped call).
+    Same prefix-compaction contract; distances are computed once, so an
+    edge registration or match-graph pair costs half of two directed calls.
+    """
+    nb, n_feat = qry.shape
+    na = ref.shape[0]
+    assert nb % tb == 0 and na % ta == 0
+
+    counts = jnp.stack([jnp.sum(qry_valid.astype(jnp.int32)),
+                        jnp.sum(ref_valid.astype(jnp.int32))])
+    n_steps = nb // tb
+    kern = functools.partial(_bidir_kernel, ta=ta, n_steps=n_steps)
+    d1q, d2q, i1q, d1r, d2r, i1r = pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_steps,),
+            in_specs=[
+                pl.BlockSpec((tb, n_feat), lambda i, c: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((na, n_feat), lambda i, c: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, na), lambda i, c: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, tb), lambda i, c: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tb), lambda i, c: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tb), lambda i, c: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, na), lambda i, c: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, na), lambda i, c: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, na), lambda i, c: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((1, na), jnp.float32),
+                pltpu.VMEM((1, na), jnp.float32),
+                pltpu.VMEM((1, na), jnp.int32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((1, nb), jnp.float32),
+            jax.ShapeDtypeStruct((1, nb), jnp.float32),
+            jax.ShapeDtypeStruct((1, nb), jnp.int32),
+            jax.ShapeDtypeStruct((1, na), jnp.float32),
+            jax.ShapeDtypeStruct((1, na), jnp.float32),
+            jax.ShapeDtypeStruct((1, na), jnp.int32),
+        ],
+        interpret=interpret,
+    )(counts, qry, ref, ref_valid.astype(jnp.int32)[None, :])
+    d1q, d2q, i1q = d1q[0], d2q[0], i1q[0]
+    d1r, d2r, i1r = d1r[0], d2r[0], i1r[0]
+
+    d1q = jnp.where(qry_valid, d1q, BIG)
+    d2q = jnp.where(qry_valid, d2q, BIG)
+    d1r = jnp.where(ref_valid, d1r, BIG)
+    d2r = jnp.where(ref_valid, d2r, BIG)
+    return (d1q, d2q, i1q), (d1r, d2r, i1r)
+
+
 @functools.partial(jax.jit, static_argnames=("tb", "ta", "kc", "interpret"))
 def two_nearest_l1_pallas(qry: jnp.ndarray, ref: jnp.ndarray,
                           qry_valid: jnp.ndarray, ref_valid: jnp.ndarray,

@@ -4,7 +4,8 @@ import numpy as np
 import pytest
 
 from computervisionimagestich2_tpu.ops import distance
-from computervisionimagestich2_tpu.ops.pallas_distance import two_nearest_l1_pallas
+from computervisionimagestich2_tpu.ops.pallas_distance import (
+    two_nearest_l1_bidir_pallas, two_nearest_l1_pallas)
 
 INTERPRET = jax.default_backend() != "tpu"
 
@@ -57,3 +58,55 @@ def test_pallas_two_nearest_live_prefix_counts(rng):
     np.testing.assert_array_equal(np.asarray(i1p)[:130],
                                   np.asarray(i1x)[:130])
     assert np.all(np.asarray(d1p)[130:] > 1e37)
+
+
+def test_pallas_bidir_matches_two_directed_calls(rng):
+    """The bidirectional kernel must reproduce BOTH directed calls
+    bit-identically (shared distances, same tie-breaks) under live-prefix
+    masks — the register_edge / match-graph fast path."""
+    nb, na, f = 256, 384, 128
+    qry = rng.normal(size=(nb, f)).astype(np.float32)
+    ref = rng.normal(size=(na, f)).astype(np.float32)
+    qv = np.arange(nb) < 170
+    rv = np.arange(na) < 300
+    (d1q, d2q, i1q), (d1r, d2r, i1r) = two_nearest_l1_bidir_pallas(
+        qry, ref, qv, rv, interpret=INTERPRET)
+    d1f, d2f, i1f = two_nearest_l1_pallas(qry, ref, qv, rv,
+                                          interpret=INTERPRET)
+    d1b, d2b, i1b = two_nearest_l1_pallas(ref, qry, rv, qv,
+                                          interpret=INTERPRET)
+    np.testing.assert_array_equal(np.asarray(d1q), np.asarray(d1f))
+    np.testing.assert_array_equal(np.asarray(d2q), np.asarray(d2f))
+    np.testing.assert_array_equal(np.asarray(i1q)[:170],
+                                  np.asarray(i1f)[:170])
+    np.testing.assert_array_equal(np.asarray(d1r), np.asarray(d1b))
+    np.testing.assert_array_equal(np.asarray(d2r), np.asarray(d2b))
+    np.testing.assert_array_equal(np.asarray(i1r)[:300],
+                                  np.asarray(i1b)[:300])
+
+
+def test_xla_bidir_matches_two_directed_calls(rng):
+    """The XLA fallback of two_nearest_bidir equals the two directed
+    two_nearest calls (both L1 and L2, odd shapes) up to f32
+    reduction-order ulps (XLA reassociates the feature reduce differently
+    for the two matrix orientations); indices must agree wherever the
+    nearest distance is not an ulp-tie."""
+    nb, na, f = 90, 70, 32
+    qry = rng.normal(size=(nb, f)).astype(np.float32)
+    ref = rng.normal(size=(na, f)).astype(np.float32)
+    qv = np.arange(nb) < 75
+    rv = np.arange(na) < 60
+    for metric in ("l1", "l2"):
+        fwd, bwd = distance.two_nearest_bidir(qry, ref, qv, rv, metric,
+                                              pallas="off")
+        ref_f = distance.two_nearest(qry, ref, qv, rv, metric, pallas="off")
+        ref_b = distance.two_nearest(ref, qry, rv, qv, metric, pallas="off")
+        for got, want in ((fwd, ref_f), (bwd, ref_b)):
+            d1g, d2g = np.asarray(got[0]), np.asarray(got[1])
+            d1w, d2w = np.asarray(want[0]), np.asarray(want[1])
+            np.testing.assert_allclose(d1g, d1w, rtol=1e-5)
+            np.testing.assert_allclose(d2g, d2w, rtol=1e-5)
+            live = d1w < 1e37
+            clear = live & (d2w > d1w * (1 + 1e-4))  # not an ulp-tie
+            np.testing.assert_array_equal(np.asarray(got[2])[clear],
+                                          np.asarray(want[2])[clear])
