@@ -131,6 +131,34 @@ def main():
                                    cfg.enhance.mix_weight).sum(), a,
         ch * cw * 3 * 4 * 6, ch * cw * (256 + 60))
 
+    # matcher: one directed 2-NN vs the bidirectional pass at the live
+    # keypoint counts this resolution actually produces
+    feats = sift_extract(gray, cfg.sift)
+    live = int(np.asarray(feats.valid.sum()))
+    cap = feats.desc.shape[0]
+    print(f"matcher operands: cap={cap} live={live}")
+    from computervisionimagestich2_tpu.ops import distance as dist_ops
+
+    add("two_nearest (1 dir)",
+        lambda x: sum(jnp.sum(t) for t in dist_ops.two_nearest(
+            x, feats.desc, feats.valid, feats.valid)[:2]),
+        feats.desc, cap * 128 * 4 * 2, live * live * 128 * 3)
+    add("two_nearest_bidir",
+        lambda x: sum(jnp.sum(t) for pair in dist_ops.two_nearest_bidir(
+            x, feats.desc, feats.valid, feats.valid) for t in pair[:2]),
+        feats.desc, cap * 128 * 4 * 2, live * live * 128 * 3)
+
+    # full edge registration (match both dirs + 2x RANSAC + solves)
+    from computervisionimagestich2_tpu.models.registration import (
+        register_edge)
+
+    def reg(x):
+        fa = feats._replace(desc=x)
+        fwd, bwd, n, _ = register_edge(fa, feats, cfg)
+        return jnp.sum(fwd) + jnp.sum(bwd) + n.astype(jnp.float32)
+    add("register_edge", reg, feats.desc,
+        cap * 128 * 4 * 2, live * live * 128 * 3)
+
     print(json.dumps({"floor_ms": round(floor, 2), "hw": [H, W],
                       "k": K, "stages": stages}))
 
