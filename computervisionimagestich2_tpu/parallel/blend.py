@@ -169,6 +169,74 @@ def plan_shard_levels(h: int, levels: int, n: int, blur_sigma: float) -> int:
     return L
 
 
+def sharded_composite(src_img: jnp.ndarray, result_img: jnp.ndarray,
+                      backward_coeffs: jnp.ndarray, min_x: float,
+                      min_y: float, canvas_hw: tuple[int, int], mesh: Mesh,
+                      axis_name: str = "sp", model: str = "bilinear"):
+    """Row-sharded stitch-edge composite (compose.composite over ICI).
+
+    Returns (a, b) as GLOBAL [H, W, 3] arrays row-sharded over
+    ``mesh[axis_name]``: a = src_img inverse-warped through
+    backward_coeffs, b = the previous result shifted by the integer
+    offsets (ImageProcess.cpp:218-224). Both are backward maps reading a
+    replicated source, so every canvas stripe is computed independently on
+    its own device with ZERO halo traffic — each stripe runs the exact
+    single-device kernels with its row offset folded into offset_y.
+    Feed the outputs straight into sharded_blend_two_images for the fully
+    sharded composite+blend step (SURVEY.md §5 "shard the canvas
+    compositing across devices").
+    """
+    from ..ops.warp import shift_image, warp_image
+
+    h, w = canvas_hw
+    n = mesh.shape[axis_name]
+    if h % n:
+        raise ValueError(f"canvas H={h} not divisible by {n} devices")
+    m = h // n
+
+    def body(src, res, coeffs, offf, offi):
+        idx = lax.axis_index(axis_name)
+        a = warp_image(src, coeffs, offf[0],
+                       offf[1] + (idx * m).astype(jnp.float32),
+                       out_shape=(m, w), model=model)
+        b = shift_image(res, offi[0], offi[1] + idx * m, out_shape=(m, w))
+        return a, b
+
+    # offsets ride as operands (traced), not closure constants — per-edge
+    # offsets must not recompile the SPMD program
+    offf = jnp.asarray([min_x, min_y], jnp.float32)
+    offi = jnp.asarray([int(min_x), int(min_y)], jnp.int32)
+    rep = P(None, None, None)
+    fn = jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(rep, rep, P(None), P(None), P(None)),
+        out_specs=(P(axis_name, None, None), P(axis_name, None, None))))
+    return fn(src_img, result_img, backward_coeffs, offf, offi)
+
+
+def sharded_composite_and_blend(src_img: jnp.ndarray,
+                                result_img: jnp.ndarray,
+                                backward_coeffs: jnp.ndarray,
+                                min_x: float, min_y: float,
+                                canvas_hw: tuple[int, int], mesh: Mesh,
+                                axis_name: str = "sp",
+                                model: str = "bilinear",
+                                level_mode: str = "max",
+                                blur_sigma: float = 2.0,
+                                content_h: jnp.ndarray | int | None = None
+                                ) -> jnp.ndarray:
+    """One full stitch edge — composite + multi-band blend — with canvas
+    rows sharded over ICI end-to-end: warp and offset-copy stripes are
+    halo-free backward maps (sharded_composite), the pyramid blend
+    exchanges only blur/resize halos via ppermute
+    (sharded_blend_two_images). Matches the single-device
+    compose.composite + blend_two_images to f32 round-off
+    (tests/test_parallel.py)."""
+    a, b = sharded_composite(src_img, result_img, backward_coeffs,
+                             min_x, min_y, canvas_hw, mesh, axis_name, model)
+    return sharded_blend_two_images(a, b, mesh, axis_name, level_mode,
+                                    blur_sigma, content_h)
+
+
 def sharded_blend_two_images(a: jnp.ndarray, b: jnp.ndarray, mesh: Mesh,
                              axis_name: str = "sp",
                              level_mode: str = "max",

@@ -59,6 +59,41 @@ def test_sharded_blend_matches_single_device(rng):
     np.testing.assert_allclose(got, expect, atol=2e-3)
 
 
+def test_sharded_composite_and_blend_matches_single_device(rng):
+    """The full sharded stitch edge — halo-free warp/offset stripes +
+    halo-exchange blend — must reproduce compose.composite +
+    blend_two_images (the warp/shift stripes must be bit-identical; the
+    blend to f32 round-off)."""
+    from computervisionimagestich2_tpu.models.blender import blend_two_images
+    from computervisionimagestich2_tpu.models import compose
+    from computervisionimagestich2_tpu.parallel.blend import (
+        sharded_composite, sharded_composite_and_blend)
+
+    mesh = make_mesh(8, sp=8)
+    h, w = 96, 128
+    src = rng.uniform(10, 250, (h, w, 3)).astype(np.float32)
+    prev = rng.uniform(10, 250, (h, w - 20, 3)).astype(np.float32)
+    # near-translation bilinear warp (a realistic stitch edge), canvas
+    # grows right/down; offsets negative like a leftward stitch
+    coeffs = jnp.asarray([1.01, 0.02, 1e-5, -0.01, 0.99, 2e-5, 1e-6,
+                          3.0], jnp.float32)
+    min_x, min_y = -12.7, -8.3
+    canvas_hw = (128, 160)
+
+    a_s, b_s = sharded_composite(jnp.asarray(src), jnp.asarray(prev),
+                                 coeffs, min_x, min_y, canvas_hw, mesh)
+    a_e, b_e = compose.composite(jnp.asarray(src), jnp.asarray(prev),
+                                 coeffs, min_x, min_y, canvas_hw)
+    np.testing.assert_array_equal(np.asarray(a_s), np.asarray(a_e))
+    np.testing.assert_array_equal(np.asarray(b_s), np.asarray(b_e))
+
+    got = np.asarray(sharded_composite_and_blend(
+        jnp.asarray(src), jnp.asarray(prev), coeffs, min_x, min_y,
+        canvas_hw, mesh))
+    expect = np.asarray(blend_two_images(a_e, b_e))
+    np.testing.assert_allclose(got, expect, atol=2e-3)
+
+
 def test_sharded_blend_rejects_unshardable_height():
     from computervisionimagestich2_tpu.parallel.blend import (
         sharded_blend_two_images)
