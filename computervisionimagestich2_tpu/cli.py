@@ -12,7 +12,34 @@ import os
 import time
 
 
-def main(argv=None):
+def build_config(args):
+    """Thread parsed CLI flags into a StitchConfig (pure; unit-testable).
+
+    Chain ordering flips the ex6 variant's knobs: 5/6:1/6 luma mix
+    (src/ex6/ImageProcess.cpp:270 vs root's 19/20, ImageProcess.cpp:261)
+    and min-dim pyramid levels (src/ex6/ImageProcess.cpp:662-665)."""
+    import dataclasses
+
+    from .config import DEFAULT_CONFIG
+
+    cfg = dataclasses.replace(DEFAULT_CONFIG, ordering=args.ordering,
+                              warp_model=args.warp_model,
+                              exact_canvas=args.exact_canvas,
+                              color_transfer=args.color_transfer)
+    if args.no_enhance:
+        cfg = dataclasses.replace(
+            cfg, enhance=dataclasses.replace(cfg.enhance, enabled=False))
+    if args.ordering == "chain":
+        cfg = dataclasses.replace(
+            cfg, enhance=dataclasses.replace(cfg.enhance, mix_weight=5.0 / 6.0),
+            blend=dataclasses.replace(cfg.blend, level_mode="min"))
+    if args.gain_compensation:
+        cfg = dataclasses.replace(
+            cfg, blend=dataclasses.replace(cfg.blend, gain_compensation=True))
+    return cfg
+
+
+def make_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="panorama-tpu",
         description="TPU-native panorama stitcher "
@@ -56,6 +83,11 @@ def main(argv=None):
                         "(dump-and-resume, SURVEY.md §5)")
     p.add_argument("--verbose", action="store_true",
                    help="structured stage logging to stderr")
+    return p
+
+
+def main(argv=None):
+    p = make_parser()
     args = p.parse_args(argv)
 
     # Persistent XLA compilation cache: the first-ever run pays the
@@ -73,9 +105,6 @@ def main(argv=None):
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
-    import dataclasses
-
-    from .config import DEFAULT_CONFIG
     from .models.stitcher import Stitcher
     from .utils.io import load_image, save_image
 
@@ -90,20 +119,7 @@ def main(argv=None):
     paths = [os.path.join(args.input, f"{i}.bmp") for i in range(1, count + 1)]
     images = [load_image(pth) for pth in paths]
 
-    cfg = dataclasses.replace(DEFAULT_CONFIG, ordering=args.ordering,
-                              warp_model=args.warp_model,
-                              exact_canvas=args.exact_canvas,
-                              color_transfer=args.color_transfer)
-    if args.no_enhance:
-        cfg = dataclasses.replace(
-            cfg, enhance=dataclasses.replace(cfg.enhance, enabled=False))
-    if args.ordering == "chain":
-        cfg = dataclasses.replace(
-            cfg, enhance=dataclasses.replace(cfg.enhance, mix_weight=5.0 / 6.0),
-            blend=dataclasses.replace(cfg.blend, level_mode="min"))
-    if args.gain_compensation:
-        cfg = dataclasses.replace(
-            cfg, blend=dataclasses.replace(cfg.blend, gain_compensation=True))
+    cfg = build_config(args)
     if args.verbose:
         from .utils import obs
 
