@@ -14,7 +14,39 @@ import json
 import time
 
 
+def _tunnel_reachable() -> bool:
+    """Fail fast instead of hanging when the axon TPU relay is down.
+
+    Under the tunnel (PALLAS_AXON_POOL_IPS set) the axon client dials
+    127.0.0.1 relay ports; with the relay process dead, the first jax
+    backend init blocks indefinitely. A closed TCP probe is cheap and
+    side-effect-free."""
+    import os
+    import socket
+
+    if not os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return True  # not tunneled; nothing to probe
+    for port in (8082, 8092, 8102, 8112):
+        s = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        s.settimeout(1.0)
+        try:
+            s.connect(("127.0.0.1", port))
+            return True
+        except OSError:
+            continue
+        finally:
+            s.close()
+    return False
+
+
 def main():
+    if not _tunnel_reachable():
+        print(json.dumps({
+            "metric": "panorama_4img_384x512_e2e_ms", "value": -1.0,
+            "unit": "ms", "vs_baseline": 0.0,
+            "error": "TPU tunnel relay unreachable (no axon relay port "
+                     "listening on 127.0.0.1)"}))
+        raise SystemExit(1)
     try:
         import jax
         jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
