@@ -78,7 +78,9 @@ def main():
     # (VERDICT r1 weak #2).
     times.sort()
     ms = times[0]
-    median_ms = times[len(times) // 2]
+    mid = len(times) // 2
+    median_ms = (times[mid] if len(times) % 2
+                 else 0.5 * (times[mid - 1] + times[mid]))
     baseline_ms = 1830.0
     print(json.dumps({
         "metric": "panorama_4img_384x512_e2e_ms",

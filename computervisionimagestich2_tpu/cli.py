@@ -90,6 +90,10 @@ def main(argv=None):
     p = make_parser()
     args = p.parse_args(argv)
 
+    # pure argument validation happens before any image loads
+    if args.resume and not args.artifacts:
+        p.error("--resume requires --artifacts")
+
     # Persistent XLA compilation cache: the first-ever run pays the
     # compiles; later CLI invocations with repeat shapes reload serialized
     # executables (the cold-start relief VERDICT r1 #6 asks for beyond
@@ -124,9 +128,6 @@ def main(argv=None):
         from .utils import obs
 
         obs.set_verbose(True)
-
-    if args.resume and not args.artifacts:
-        p.error("--resume requires --artifacts")
 
     t0 = time.perf_counter()
     stitcher = Stitcher(cfg, artifact_dir=args.artifacts)

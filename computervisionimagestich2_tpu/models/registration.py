@@ -38,7 +38,7 @@ def register_edge(feats_src: Features, feats_dst: Features,
     # the kd-forest per direction, ImageProcess.cpp:185-198)
     s2d, d2s = match_features_bidir(feats_src, feats_dst,
                                     mcfg.ratio_threshold, mcfg.distance,
-                                    mcfg.max_matches)
+                                    mcfg.max_matches, mcfg.pallas)
     # direction choice on the UNCAPPED counts (the reference compares the
     # full vector sizes, ImageProcess.cpp:185)
     n_s2d = s2d.n_raw
@@ -192,7 +192,8 @@ def all_pairs_match_counts(desc: jnp.ndarray, valid: jnp.ndarray,
         # against i's reference set (ImageProcess.cpp:117-137)
         okq, _, okr, _ = ratio_match_bidir(
             desc[j], desc[i], valid[j], valid[i],
-            cfg.match.ratio_threshold, cfg.match.distance)
+            cfg.match.ratio_threshold, cfg.match.distance,
+            cfg.match.pallas)
         return carry, jnp.stack([jnp.sum(okq.astype(jnp.int32)),
                                  jnp.sum(okr.astype(jnp.int32))])
 

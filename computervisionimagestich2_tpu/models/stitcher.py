@@ -46,7 +46,7 @@ from ..utils.io import load_image, save_image
 from . import compose
 from .blender import blend_two_images
 from .equalization import equalize_and_mix
-from .matcher import match_features
+from .matcher import match_features_bidir
 from .registration import all_pairs_match_counts, register_edge
 from .sift import sift_extract
 
@@ -204,15 +204,9 @@ class Stitcher:
 
         stats: [N, 4] or list of [4] int32: dropped [candidates, refined
         keypoints, descriptors, final-capacity keypoints] per image."""
-        arr = np.asarray(jnp.stack(list(stats))
-                         if isinstance(stats, (list, tuple)) else stats)
-        for i, row in enumerate(arr):
-            if row.sum() > 0:
-                obs.warn("sift_overflow", image=i,
-                        dropped_candidates=int(row[0]),
-                        dropped_keypoints=int(row[1]),
-                        dropped_descriptors=int(row[2]),
-                        dropped_final=int(row[3]))
+        obs.log_sift_overflow(np.asarray(
+            jnp.stack(list(stats))
+            if isinstance(stats, (list, tuple)) else stats))
 
     # ------------------------------------------------------------- ordering
     def _match_graph(self, feats) -> list[list[int]]:
@@ -230,15 +224,18 @@ class Stitcher:
                 self._feats_stacked.desc, self._feats_stacked.valid,
                 self.config))
         else:
+            # mixed-shape fallback: both ordered counts of a pair from ONE
+            # distance evaluation (match_features_bidir), i<j only
             counts = np.zeros((n, n), np.int64)
             for i in range(n):
-                for j in range(n):
-                    if i == j:
-                        continue
-                    pairs = match_features(feats[i], feats[j],
-                                           cfg.ratio_threshold, cfg.distance,
-                                           cfg.max_matches)
-                    counts[i][j] = int(np.asarray(pairs.count()))
+                for j in range(i + 1, n):
+                    ij, ji = match_features_bidir(
+                        feats[i], feats[j], cfg.ratio_threshold,
+                        cfg.distance, cfg.max_matches, cfg.pallas)
+                    # n_raw = uncapped ok count, same statistic as the
+                    # stacked all_pairs_match_counts path
+                    counts[i][j] = int(np.asarray(ij.n_raw))
+                    counts[j][i] = int(np.asarray(ji.n_raw))
         return directed_adjacency(counts, cfg.pair_threshold)
 
     @staticmethod

@@ -86,12 +86,17 @@ def batched_project_and_extract(images: jnp.ndarray,
     CPU/mesh paths.
     """
     from ..models.sift import _pallas_enabled
+    from ..utils import obs
 
     if _pallas_enabled(cfg.sift):
         outs = [_project_and_extract_one(images[i], cfg)
                 for i in range(images.shape[0])]
-        return jax.tree.map(lambda *xs: jnp.stack(xs), *outs)[:2]
-    return _project_and_extract_vmapped(images, cfg)[:2]
+        feats, proj, stats = jax.tree.map(lambda *xs: jnp.stack(xs), *outs)
+    else:
+        feats, proj, stats = _project_and_extract_vmapped(images, cfg)
+    # capacity truncation must be reported, never silent (VERDICT r1 #8)
+    obs.log_sift_overflow(stats)
+    return feats, proj
 
 
 def shard_batch(mesh: Mesh, *arrays):

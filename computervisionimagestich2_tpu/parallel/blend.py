@@ -27,6 +27,8 @@ tests/test_parallel.py::test_sharded_blend_matches_single_device).
 """
 from __future__ import annotations
 
+from functools import lru_cache
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -169,6 +171,29 @@ def plan_shard_levels(h: int, levels: int, n: int, blur_sigma: float) -> int:
     return L
 
 
+@lru_cache(maxsize=64)
+def _composite_program(mesh: Mesh, axis_name: str, m: int, w: int,
+                       model: str):
+    """Cached jit(shard_map) composite program: a fresh jit wrapper per
+    call would retrace the SPMD body on every edge; the lru_cache keys it
+    on the static geometry so per-edge offsets (traced operands) reuse the
+    compiled executable."""
+    from ..ops.warp import shift_image, warp_image
+
+    def body(src, res, coeffs, offf, offi):
+        idx = lax.axis_index(axis_name)
+        a = warp_image(src, coeffs, offf[0],
+                       offf[1] + (idx * m).astype(jnp.float32),
+                       out_shape=(m, w), model=model)
+        b = shift_image(res, offi[0], offi[1] + idx * m, out_shape=(m, w))
+        return a, b
+
+    rep = P(None, None, None)
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(rep, rep, P(None), P(None), P(None)),
+        out_specs=(P(axis_name, None, None), P(axis_name, None, None))))
+
+
 def sharded_composite(src_img: jnp.ndarray, result_img: jnp.ndarray,
                       backward_coeffs: jnp.ndarray, min_x: float,
                       min_y: float, canvas_hw: tuple[int, int], mesh: Mesh,
@@ -186,30 +211,17 @@ def sharded_composite(src_img: jnp.ndarray, result_img: jnp.ndarray,
     sharded composite+blend step (SURVEY.md §5 "shard the canvas
     compositing across devices").
     """
-    from ..ops.warp import shift_image, warp_image
-
     h, w = canvas_hw
     n = mesh.shape[axis_name]
     if h % n:
         raise ValueError(f"canvas H={h} not divisible by {n} devices")
     m = h // n
 
-    def body(src, res, coeffs, offf, offi):
-        idx = lax.axis_index(axis_name)
-        a = warp_image(src, coeffs, offf[0],
-                       offf[1] + (idx * m).astype(jnp.float32),
-                       out_shape=(m, w), model=model)
-        b = shift_image(res, offi[0], offi[1] + idx * m, out_shape=(m, w))
-        return a, b
-
     # offsets ride as operands (traced), not closure constants — per-edge
     # offsets must not recompile the SPMD program
     offf = jnp.asarray([min_x, min_y], jnp.float32)
     offi = jnp.asarray([int(min_x), int(min_y)], jnp.int32)
-    rep = P(None, None, None)
-    fn = jax.jit(jax.shard_map(
-        body, mesh=mesh, in_specs=(rep, rep, P(None), P(None), P(None)),
-        out_specs=(P(axis_name, None, None), P(axis_name, None, None))))
+    fn = _composite_program(mesh, axis_name, m, w, model)
     return fn(src_img, result_img, backward_coeffs, offf, offi)
 
 
@@ -258,6 +270,22 @@ def sharded_blend_two_images(a: jnp.ndarray, b: jnp.ndarray, mesh: Mesh,
         raise ValueError(
             f"H={h} not row-shardable over {n} devices "
             f"(needs H % {2 * n} == 0 and H//{n} >= blur radius)")
+
+    mask0 = half_plane_mask(a, b, content_h)
+    stacked = jnp.concatenate([a, b, mask0[..., None]], axis=-1)
+    row_sharding = NamedSharding(mesh, P(axis_name, None, None))
+    stacked = jax.device_put(stacked, row_sharding)
+    fn, shrink_ws, enl_ws = _blend_program(mesh, axis_name, h, w, levels, L,
+                                           blur_sigma)
+    return fn(stacked, shrink_ws, enl_ws)
+
+
+@lru_cache(maxsize=64)
+def _blend_program(mesh: Mesh, axis_name: str, h: int, w: int, levels: int,
+                   L: int, blur_sigma: float):
+    """Cached jit(shard_map) pyramid-blend program + its weight operands,
+    keyed on the static geometry (a fresh jit wrapper per call would
+    retrace the SPMD body on every edge)."""
     taps = jnp.asarray(gauss_taps(blur_sigma))
 
     # host-side shape walk + per-level weight tables (all evenly sharded:
@@ -307,10 +335,6 @@ def sharded_blend_two_images(a: jnp.ndarray, b: jnp.ndarray, mesh: Mesh,
             expand = jnp.clip(blended + upx, 0.0, 255.0)
         return expand
 
-    mask0 = half_plane_mask(a, b, content_h)
-    stacked = jnp.concatenate([a, b, mask0[..., None]], axis=-1)
-    row_sharding = NamedSharding(mesh, P(axis_name, None, None))
-    stacked = jax.device_put(stacked, row_sharding)
     fn = jax.jit(jax.shard_map(
         body, mesh=mesh,
         in_specs=(P(axis_name, None, None),
@@ -318,4 +342,4 @@ def sharded_blend_two_images(a: jnp.ndarray, b: jnp.ndarray, mesh: Mesh,
                   tuple((P(axis_name, None), P(axis_name, None))
                         for _ in range(L))),
         out_specs=P(axis_name, None, None)))
-    return fn(stacked, tuple(shrink_ws), tuple(enl_ws))
+    return fn, tuple(shrink_ws), tuple(enl_ws)

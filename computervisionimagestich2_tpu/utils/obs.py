@@ -40,6 +40,25 @@ def warn(stage: str, **kv) -> None:
           flush=True)
 
 
+def log_sift_overflow(stats) -> None:
+    """Report static-capacity truncation (never silent — VERDICT r1 #8).
+
+    stats: [N, 4] array or list of [4] int32 rows: dropped [candidates,
+    refined keypoints, descriptors, final-capacity keypoints] per image."""
+    import numpy as np
+
+    arr = np.asarray(stats)
+    if arr.ndim == 1:
+        arr = arr[None]
+    for i, row in enumerate(arr):
+        if row.sum() > 0:
+            warn("sift_overflow", image=i,
+                 dropped_candidates=int(row[0]),
+                 dropped_keypoints=int(row[1]),
+                 dropped_descriptors=int(row[2]),
+                 dropped_final=int(row[3]))
+
+
 class StageTimer:
     def __init__(self):
         self.times: dict[str, float] = {}

@@ -94,6 +94,30 @@ def test_sharded_composite_and_blend_matches_single_device(rng):
     np.testing.assert_allclose(got, expect, atol=2e-3)
 
 
+def test_sharded_programs_are_cached_across_calls(rng):
+    """Per-edge calls with the same geometry must reuse the compiled SPMD
+    programs (the jit cache is keyed on the wrapper object, so a fresh
+    jit(shard_map) per call would retrace every edge)."""
+    from computervisionimagestich2_tpu.parallel import blend as pblend
+
+    mesh = make_mesh(8, sp=8)
+    h, w = 64, 96
+    src = jnp.asarray(rng.uniform(10, 250, (h, w, 3)), jnp.float32)
+    prev = jnp.asarray(rng.uniform(10, 250, (h, w - 16, 3)), jnp.float32)
+    coeffs = jnp.asarray([1.0, 0.01, 1e-5, -0.005, 1.0, 2e-5, 0.0, 2.0],
+                         jnp.float32)
+
+    pblend._composite_program.cache_clear()
+    pblend._blend_program.cache_clear()
+    for min_x in (-3.5, -7.25):  # distinct per-edge offsets, same geometry
+        pblend.sharded_composite_and_blend(
+            src, prev, coeffs, min_x, -2.0, (h, w), mesh)
+    assert pblend._composite_program.cache_info().misses == 1
+    assert pblend._composite_program.cache_info().hits == 1
+    assert pblend._blend_program.cache_info().misses == 1
+    assert pblend._blend_program.cache_info().hits == 1
+
+
 def test_sharded_blend_rejects_unshardable_height():
     from computervisionimagestich2_tpu.parallel.blend import (
         sharded_blend_two_images)
