@@ -36,6 +36,9 @@ def build_config(args):
     if args.gain_compensation:
         cfg = dataclasses.replace(
             cfg, blend=dataclasses.replace(cfg.blend, gain_compensation=True))
+    if args.blend_dtype != "f32":
+        cfg = dataclasses.replace(
+            cfg, blend=dataclasses.replace(cfg.blend, dtype=args.blend_dtype))
     return cfg
 
 
@@ -62,6 +65,10 @@ def make_parser() -> argparse.ArgumentParser:
                    help="bilinear = reference-exact; projective = true DLT")
     p.add_argument("--gain-compensation", action="store_true",
                    help="match overlap luma before blending")
+    p.add_argument("--blend-dtype", choices=["f32", "bf16"], default="f32",
+                   help="bf16 = reduced-precision pyramid blend (~2x less "
+                        "HBM traffic; a few u8 levels of rounding in smooth "
+                        "gradients). f32 = parity default")
     p.add_argument("--color-transfer", action="store_true",
                    help="per-edge Reinhard color transfer of each incoming "
                         "image toward its stitch partner (the reference's "

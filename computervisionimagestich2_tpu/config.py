@@ -127,6 +127,11 @@ class BlendConfig:
     # Extension beyond the reference (BASELINE.json config 4): match the
     # incoming image's overlap-mean luma to the canvas before blending.
     gain_compensation: bool = False
+    # "f32" (parity default) | "bf16": run the pyramid chain in bfloat16 —
+    # the blend is HBM-bandwidth-bound at panorama canvas sizes, so halving
+    # the bytes roughly halves the time, at a few u8 levels of rounding in
+    # smooth gradients (models/blender.py::blend_stacked). FIR blur only.
+    dtype: str = "f32"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -172,7 +177,7 @@ class StitchConfig:
     canvas_bucket: int = 128
     # planned=True registers every stitch edge in ONE device program (a
     # lax.scan over edges — matching, RANSAC, canvas bounds, feature
-    # updates) and reads back a single [E, 22] plan, so the stitch loop
+    # updates) and reads back a single [E, 23] plan, so the stitch loop
     # dispatches composites/blends with no per-edge host-device round trip.
     # False = the incremental per-edge loop (streaming-style).
     planned: bool = True

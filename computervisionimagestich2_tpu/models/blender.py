@@ -87,12 +87,26 @@ def half_plane_mask(a: jnp.ndarray, b: jnp.ndarray,
 
 def blend_stacked(s0: jnp.ndarray, levels: int,
                   blur_sigma: float = 2.0,
-                  blur_impl: str = "fir") -> jnp.ndarray:
+                  blur_impl: str = "fir",
+                  dtype: str = "f32") -> jnp.ndarray:
     """Pyramid blend of a pre-stacked [H, W, 7] canvas (a | b | mask
     channels): downsweep (blur+halve), per-level Laplacian masked lerp,
     top-down reconstruction with clamping. Factored out of
     blend_two_images so parallel.blend can reuse it verbatim for the
-    replicated deep-pyramid tail of the row-sharded blend."""
+    replicated deep-pyramid tail of the row-sharded blend.
+
+    dtype="bf16" runs the whole pyramid chain in bfloat16 — the blend is
+    HBM-bandwidth-bound at panorama canvas sizes, so halving the bytes
+    roughly halves the time. u8-valued canvases carry ~1 ulp of bf16
+    rounding at 255, so the output can differ from f32 by a few u8 levels
+    in smooth gradients (opt-in speed mode; f32 is the parity default).
+    FIR blur only."""
+    if dtype == "bf16":
+        if blur_impl != "fir":
+            raise ValueError("dtype='bf16' supports blur_impl='fir' only")
+        s0 = s0.astype(jnp.bfloat16)
+    elif dtype != "f32":
+        raise ValueError(f"unknown blend dtype {dtype!r}")
     # -- gaussian pyramids (cpp:705-715)
     # a, b, mask stacked along channels: blur/resize are per-channel
     # independent, so one 7-channel chain computes the identical values
@@ -124,25 +138,27 @@ def blend_stacked(s0: jnp.ndarray, levels: int,
         hp, wp = blend_pyr[i].shape[0], blend_pyr[i].shape[1]
         expand = cimg_resize(expand, hp, wp)
         expand = jnp.clip(blend_pyr[i] + expand, 0.0, 255.0)
-    return expand
+    return expand.astype(jnp.float32)
 
 
-@partial(jax.jit, static_argnames=("level_mode", "blur_sigma", "blur_impl"))
+@partial(jax.jit, static_argnames=("level_mode", "blur_sigma", "blur_impl",
+                                   "dtype"))
 def blend_two_images(a: jnp.ndarray, b: jnp.ndarray,
                      level_mode: str = "max",
                      blur_sigma: float = 2.0,
                      blur_impl: str = "fir",
-                     content_h: jnp.ndarray | int | None = None
-                     ) -> jnp.ndarray:
+                     content_h: jnp.ndarray | int | None = None,
+                     dtype: str = "f32") -> jnp.ndarray:
     """Blend canvas a (new warped image) over b (previous result).
 
     a, b: [H, W, 3] float32 (u8 values). Returns the blended float canvas
     (the caller truncates to u8, as the reference's CImg assignment does).
     ``content_h``: content row extent when the canvas is bucket-padded —
     see half_plane_mask. Traced, so it adds no compile variants.
+    ``dtype="bf16"``: reduced-precision pyramid (see blend_stacked).
     """
     h, w = a.shape[0], a.shape[1]
     levels = n_levels(h, w, level_mode)
     mask0 = half_plane_mask(a, b, content_h)
     s0 = jnp.concatenate([a, b, mask0[..., None]], axis=-1)
-    return blend_stacked(s0, levels, blur_sigma, blur_impl)
+    return blend_stacked(s0, levels, blur_sigma, blur_impl, dtype)

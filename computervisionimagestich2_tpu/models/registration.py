@@ -115,7 +115,7 @@ def plan_edges(feats_stacked: Features, edges: jnp.ndarray,
     chain as one ``lax.scan``: per edge it matches, solves both RANSAC
     directions, computes canvas-bound scalars, and applies the feature
     coordinate updates (dst by forward+offset, pre by int-truncated offset,
-    cpp:226-227) — then the host reads back ONE [E, 22] plan and dispatches
+    cpp:226-227) — then the host reads back ONE [E, 23] plan and dispatches
     composites/blends with no further synchronization.
 
     feats_stacked: Features with leading image axis [N, CAP, ...].

@@ -12,7 +12,7 @@ as a host orchestrator driving jit-compiled device stages:
   edges:      planned mode (default): ONE scanned device program
               registers every edge (matching x2, RANSAC x2, canvas
               bounds, feature updates — registration.plan_edges) and the
-              host reads back a single [E, 22] plan; then one fused
+              host reads back a single [E, 23] plan; then one fused
               composite+blend dispatch per edge (banded gather-free warp
               when the plan admits it). Incremental mode keeps the
               reference's per-edge host loop (streaming-style).
@@ -99,7 +99,8 @@ def _composite_and_blend(proj_dst, result, bwd, min_x, min_y,
         a = gain_compensate(a, b)
     blended = blend_two_images(a, b, cfg.blend.level_mode,
                                cfg.blend.blur_sigma,
-                               cfg.blend.blur_impl, out_hw[0])
+                               cfg.blend.blur_impl, out_hw[0],
+                               cfg.blend.dtype)
     return trunc_u8(blended[:out_hw[0], :out_hw[1]])
 
 
@@ -321,12 +322,13 @@ class Stitcher:
 
         blended = blend_two_images(a, b, cfg.blend.level_mode,
                                    cfg.blend.blur_sigma,
-                                   cfg.blend.blur_impl, new_h)
+                                   cfg.blend.blur_impl, new_h,
+                                   cfg.blend.dtype)
         return trunc_u8(blended[:new_h, :new_w]), dst_i
 
     def _stitch_planned(self, result, projected, edge_seq):
         """Planned stitch: ONE device program registers every edge
-        (registration.plan_edges), ONE readback returns the [E, 22] plan,
+        (registration.plan_edges), ONE readback returns the [E, 23] plan,
         then all composites/blends dispatch with no further host syncs —
         the per-edge RPC round trips of the incremental loop disappear."""
         from .registration import plan_edges

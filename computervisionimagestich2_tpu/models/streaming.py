@@ -126,7 +126,8 @@ class StreamingStitcher:
                                  cfg.warp_model)
         blended = blend_two_images(a, b, cfg.blend.level_mode,
                                    cfg.blend.blur_sigma,
-                                   cfg.blend.blur_impl, ext_h)
+                                   cfg.blend.blur_impl, ext_h,
+                                   cfg.blend.dtype)
         self._result = trunc_u8(blended)
 
         # the new frame's features become the prev-frame anchor; the

@@ -44,6 +44,7 @@ def _conv1d_lastdim(x: jnp.ndarray, taps: jnp.ndarray) -> jnp.ndarray:
     lowers to catastrophically slow code on TPU (measured ~200x slower at
     panorama-canvas widths), and K is small (9..39).
     """
+    taps = taps.astype(x.dtype)  # keep reduced-precision inputs reduced
     k = taps.shape[0]
     r = (k - 1) // 2
     length = x.shape[-1]

@@ -87,7 +87,7 @@ def _shrink_half_axis1(img: jnp.ndarray, n_dst: int) -> jnp.ndarray:
     padded = jnp.pad(img, pad_cfg)
     out = None
     for b in range(band):
-        wk = jnp.asarray(w[:, b]).reshape(
+        wk = jnp.asarray(w[:, b], img.dtype).reshape(
             (1, n_dst) + (1,) * (img.ndim - 2))
         term = padded[:, b: b + 2 * n_dst: 2] * wk
         out = term if out is None else out + term
@@ -115,7 +115,7 @@ def _enlarge2_axis1(img: jnp.ndarray, n_dst: int) -> jnp.ndarray:
                     w[t, b] = rows[t, j]
         out_p = None
         for b in range(3):
-            wk = jnp.asarray(w[:, b]).reshape(
+            wk = jnp.asarray(w[:, b], img.dtype).reshape(
                 (1, n_half) + (1,) * (img.ndim - 2))
             term = padded[:, b: b + n_half] * wk
             out_p = term if out_p is None else out_p + term
@@ -137,7 +137,7 @@ def _resize_axis1(img: jnp.ndarray, n_dst: int) -> jnp.ndarray:
     # generic ratio fallback (rare: not used by the blend pyramid)
     idx0, w = _banded_weights(n_src, n_dst)
     idx0 = jnp.asarray(idx0)
-    w = jnp.asarray(w)
+    w = jnp.asarray(w, img.dtype)
     out = None
     for b in range(w.shape[1]):
         wk = w[:, b].reshape((1, n_dst) + (1,) * (img.ndim - 2))

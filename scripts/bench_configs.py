@@ -56,6 +56,31 @@ def main():
     st2 = Stitcher(DEFAULT_CONFIG)
     results["panorama4_input_ms"] = timed(lambda: st2.stitch(input1))
 
+    # config 3: batched panoramas — the chain-edge registrations of a set
+    # as ONE vmapped device program (the batch axis shards over a mesh's
+    # data axis on multi-chip; single chip here). Input/ and Input2/ have
+    # different shapes, so each set is its own batch.
+    import jax.numpy as jnp
+
+    from computervisionimagestich2_tpu.ops.color import to_gray
+    from computervisionimagestich2_tpu.ops.warp import cylindrical_project
+    from computervisionimagestich2_tpu.parallel.batched import (
+        batched_pairwise_register)
+
+    def batched_register(images):
+        grays = [to_gray(cylindrical_project(
+            jnp.asarray(np.asarray(im), jnp.float32),
+            DEFAULT_CONFIG.projection.angle_deg)) for im in images]
+        a = jnp.stack(grays[:-1])
+        b = jnp.stack(grays[1:])
+        coeffs, inliers = batched_pairwise_register(a, b)
+        return float(np.asarray(coeffs).sum())  # force readback
+
+    results["batched_register_input_ms"] = timed(
+        lambda: batched_register(input1))
+    results["batched_register_input2_ms"] = timed(
+        lambda: batched_register(input2))
+
     # config 4: high-res with gain compensation
     cfg4 = dataclasses.replace(
         DEFAULT_CONFIG,

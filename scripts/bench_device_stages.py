@@ -125,6 +125,12 @@ def main():
                                    cfg.blend.blur_sigma,
                                    cfg.blend.blur_impl).sum(), a,
         ch * cw * 3 * 4 * 8, ch * cw * 3 * 200)
+    add("blend_two_images_bf16",
+        lambda x: blend_two_images(x, b, cfg.blend.level_mode,
+                                   cfg.blend.blur_sigma,
+                                   cfg.blend.blur_impl,
+                                   dtype="bf16").sum(), a,
+        ch * cw * 3 * 2 * 8, ch * cw * 3 * 200)
     # enhance tail
     add("equalize_and_mix",
         lambda x: equalize_and_mix(x, cfg.enhance.compat_luma,

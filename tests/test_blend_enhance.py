@@ -95,6 +95,33 @@ def test_blend_matches_oracle(rng):
     assert np.abs(got - expect).max() < 0.5, np.abs(got - expect).max()
 
 
+def test_blend_bf16_close_to_f32(rng):
+    """The opt-in bf16 pyramid must stay within a few u8 levels of the f32
+    blend and actually run in bf16 (the weight constants must not silently
+    promote the chain back to f32)."""
+    import jax
+
+    h, w = 64, 128
+    a = np.zeros((h, w, 3), np.float32)
+    b = np.zeros((h, w, 3), np.float32)
+    a[:, 40:] = rng.integers(40, 255, (h, w - 40, 3)).astype(np.float32)
+    b[:, :80] = rng.integers(40, 255, (h, 80, 3)).astype(np.float32)
+    f32 = np.asarray(blend_two_images(a, b))
+    bf16 = np.asarray(blend_two_images(a, b, dtype="bf16"))
+    assert bf16.dtype == np.float32  # output contract unchanged
+    assert np.abs(bf16 - f32).max() < 6.0, np.abs(bf16 - f32).max()
+
+    jaxpr = str(jax.make_jaxpr(
+        lambda x, y: blend_two_images(x, y, dtype="bf16"))(a, b))
+    assert "bf16" in jaxpr
+    # the pyramid chain itself must be bf16: no f32 convert before the
+    # final output cast (count conversions TO f32 — exactly one, the end)
+    assert jaxpr.count("convert_element_type[new_dtype=float32]") <= 2
+
+    with pytest.raises(ValueError):
+        blend_two_images(a, b, blur_impl="vanvliet", dtype="bf16")
+
+
 def test_blend_nonoverlap_passthrough(rng):
     """Outside the seam region each side should keep (approximately) its own
     content."""

@@ -44,6 +44,12 @@ def test_feature_flags_thread_into_config():
     assert cfg.blend.gain_compensation
     assert cfg.warp_model == "projective"
     assert cfg.exact_canvas
+    assert cfg.blend.dtype == "f32"
+
+
+def test_blend_dtype_flag_threads_into_config():
+    assert cli.build_config(parse("--blend-dtype", "bf16")).blend.dtype == \
+        "bf16"
 
 
 def test_bucketed_canvas_flag_overrides_exact():
