@@ -94,8 +94,11 @@ def batched_project_and_extract(images: jnp.ndarray,
         feats, proj, stats = jax.tree.map(lambda *xs: jnp.stack(xs), *outs)
     else:
         feats, proj, stats = _project_and_extract_vmapped(images, cfg)
-    # capacity truncation must be reported, never silent (VERDICT r1 #8)
-    obs.log_sift_overflow(stats)
+    # capacity truncation must be reported, never silent (VERDICT r1 #8) —
+    # but logging must not force a host sync before the caller can enqueue
+    # downstream work (the whole point of the pipelined dispatches above),
+    # so the tiny [B, 4] stats readback happens on a side thread
+    obs.log_sift_overflow_async(stats)
     return feats, proj
 
 

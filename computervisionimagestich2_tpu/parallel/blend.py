@@ -73,6 +73,7 @@ def _halo_blur(x, taps, axis_name: str):
     """Separable FIR blur of a stripe [H_loc, W, C]: W pass local, H pass
     over a 2r-row halo. Taps/order/padding match ops.gaussian.gaussian_blur
     (W then H, continuity padding) so values are bit-comparable."""
+    taps = taps.astype(x.dtype)  # keep reduced-precision stripes reduced
     r = (taps.shape[0] - 1) // 2
     xw = jnp.moveaxis(_conv1d_lastdim(jnp.moveaxis(x, 1, -1), taps), -1, 1)
     above = _halo_above(xw, r, axis_name, zero_edge=False)
@@ -234,8 +235,8 @@ def sharded_composite_and_blend(src_img: jnp.ndarray,
                                 model: str = "bilinear",
                                 level_mode: str = "max",
                                 blur_sigma: float = 2.0,
-                                content_h: jnp.ndarray | int | None = None
-                                ) -> jnp.ndarray:
+                                content_h: jnp.ndarray | int | None = None,
+                                dtype: str = "f32") -> jnp.ndarray:
     """One full stitch edge — composite + multi-band blend — with canvas
     rows sharded over ICI end-to-end: warp and offset-copy stripes are
     halo-free backward maps (sharded_composite), the pyramid blend
@@ -246,24 +247,28 @@ def sharded_composite_and_blend(src_img: jnp.ndarray,
     a, b = sharded_composite(src_img, result_img, backward_coeffs,
                              min_x, min_y, canvas_hw, mesh, axis_name, model)
     return sharded_blend_two_images(a, b, mesh, axis_name, level_mode,
-                                    blur_sigma, content_h)
+                                    blur_sigma, content_h, dtype)
 
 
 def sharded_blend_two_images(a: jnp.ndarray, b: jnp.ndarray, mesh: Mesh,
                              axis_name: str = "sp",
                              level_mode: str = "max",
                              blur_sigma: float = 2.0,
-                             content_h: jnp.ndarray | int | None = None
-                             ) -> jnp.ndarray:
+                             content_h: jnp.ndarray | int | None = None,
+                             dtype: str = "f32") -> jnp.ndarray:
     """blend_two_images with canvas rows sharded over ``mesh[axis_name]``.
 
     a, b: [H, W, 3] float32 u8-valued canvases. The leading
     ``plan_shard_levels`` pyramid levels run as row stripes with ppermute
     halo exchange; the deep tail is gathered once and finished replicated
     (models.blender.blend_stacked). Output matches the single-device blend
-    to f32 round-off. Raises if H doesn't admit even sharding."""
+    to f32 round-off. Raises if H doesn't admit even sharding.
+    ``dtype="bf16"`` mirrors BlendConfig.dtype: the stripes, halos, and the
+    gathered tail all run in bfloat16 (half the HBM *and* ICI traffic)."""
     h, w = int(a.shape[0]), int(a.shape[1])
     n = mesh.shape[axis_name]
+    if dtype not in ("f32", "bf16"):
+        raise ValueError(f"unknown blend dtype {dtype!r}")
     levels = n_levels(h, w, level_mode)
     L = plan_shard_levels(h, levels, n, blur_sigma)
     if L == 0:
@@ -276,13 +281,13 @@ def sharded_blend_two_images(a: jnp.ndarray, b: jnp.ndarray, mesh: Mesh,
     row_sharding = NamedSharding(mesh, P(axis_name, None, None))
     stacked = jax.device_put(stacked, row_sharding)
     fn, shrink_ws, enl_ws = _blend_program(mesh, axis_name, h, w, levels, L,
-                                           blur_sigma)
+                                           blur_sigma, dtype)
     return fn(stacked, shrink_ws, enl_ws)
 
 
 @lru_cache(maxsize=64)
 def _blend_program(mesh: Mesh, axis_name: str, h: int, w: int, levels: int,
-                   L: int, blur_sigma: float):
+                   L: int, blur_sigma: float, dtype: str = "f32"):
     """Cached jit(shard_map) pyramid-blend program + its weight operands,
     keyed on the static geometry (a fresh jit wrapper per call would
     retrace the SPMD body on every edge)."""
@@ -303,6 +308,13 @@ def _blend_program(mesh: Mesh, axis_name: str, h: int, w: int, levels: int,
         enl_ws.append((jnp.asarray(w0), jnp.asarray(w1)))
 
     def body(stripe, shr, enl):
+        if dtype == "bf16":
+            # reduced-precision stripes: weight operands cast alongside so
+            # promotion doesn't silently pull the chain back to f32
+            stripe = stripe.astype(jnp.bfloat16)
+            shr = tuple(s.astype(jnp.bfloat16) for s in shr)
+            enl = tuple((w0.astype(jnp.bfloat16), w1.astype(jnp.bfloat16))
+                        for (w0, w1) in enl)
         # sharded downsweep: blur (H halo) -> W halve (local) -> H halve
         # (halo), same op order as blend_stacked's cimg_resize(_blur_hwc())
         s_loc = [stripe]
@@ -313,7 +325,8 @@ def _blend_program(mesh: Mesh, axis_name: str, h: int, w: int, levels: int,
         # replicated deep tail: gather level L once, reuse the exact
         # single-device blend code for levels L..levels-1
         full_l = lax.all_gather(s_loc[L], axis_name, tiled=True)
-        expand = blend_stacked(full_l, levels - L, blur_sigma, "fir")
+        expand = blend_stacked(full_l, levels - L, blur_sigma, "fir",
+                               dtype).astype(stripe.dtype)
         # sharded upsweep: laplacian + masked lerp + reconstruct per level
         for i in range(L - 1, -1, -1):
             w0, w1 = enl[i]
@@ -333,7 +346,7 @@ def _blend_program(mesh: Mesh, axis_name: str, h: int, w: int, levels: int,
             m = s_loc[i][..., 6:7]
             blended = lap[..., :3] * m + lap[..., 3:6] * (1.0 - m)
             expand = jnp.clip(blended + upx, 0.0, 255.0)
-        return expand
+        return expand.astype(jnp.float32)
 
     fn = jax.jit(jax.shard_map(
         body, mesh=mesh,

@@ -59,6 +59,20 @@ def log_sift_overflow(stats) -> None:
                  dropped_final=int(row[3]))
 
 
+def log_sift_overflow_async(stats):
+    """log_sift_overflow without blocking the caller: np.asarray(stats)
+    waits for every dispatched program feeding the stats, which would
+    serialize pipelined batch APIs. Best-effort (a daemon thread may not
+    flush if the process exits immediately). Returns the thread so tests
+    can join it."""
+    import threading
+
+    t = threading.Thread(target=lambda: log_sift_overflow(stats),
+                         daemon=True)
+    t.start()
+    return t
+
+
 class StageTimer:
     def __init__(self):
         self.times: dict[str, float] = {}

@@ -125,12 +125,14 @@ def main():
                                    cfg.blend.blur_sigma,
                                    cfg.blend.blur_impl).sum(), a,
         ch * cw * 3 * 4 * 8, ch * cw * 3 * 200)
+    # bytes: the f32 inputs are read and the f32 result written once each
+    # (3 x 4B passes); the ~6 interior pyramid passes run at 2B
     add("blend_two_images_bf16",
         lambda x: blend_two_images(x, b, cfg.blend.level_mode,
                                    cfg.blend.blur_sigma,
                                    cfg.blend.blur_impl,
                                    dtype="bf16").sum(), a,
-        ch * cw * 3 * 2 * 8, ch * cw * 3 * 200)
+        ch * cw * 3 * (3 * 4 + 6 * 2), ch * cw * 3 * 200)
     # enhance tail
     add("equalize_and_mix",
         lambda x: equalize_and_mix(x, cfg.enhance.compat_luma,

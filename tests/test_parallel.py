@@ -94,6 +94,29 @@ def test_sharded_composite_and_blend_matches_single_device(rng):
     np.testing.assert_allclose(got, expect, atol=2e-3)
 
 
+def test_sharded_blend_bf16_matches_single_device_bf16(rng):
+    """dtype='bf16' must behave the same sharded as on one device (the
+    config knob can't silently mean f32 on the multi-chip path)."""
+    from computervisionimagestich2_tpu.models.blender import blend_two_images
+    from computervisionimagestich2_tpu.parallel.blend import (
+        sharded_blend_two_images)
+
+    mesh = make_mesh(8, sp=8)
+    h, w = 128, 96
+    a = np.zeros((h, w, 3), np.float32)
+    b = np.zeros((h, w, 3), np.float32)
+    a[8:-8, : 2 * w // 3] = rng.uniform(10, 250, (h - 16, 2 * w // 3, 3))
+    b[8:-8, w // 3:] = rng.uniform(10, 250, (h - 16, w - w // 3, 3))
+    got = np.asarray(sharded_blend_two_images(
+        jnp.asarray(a), jnp.asarray(b), mesh, "sp", dtype="bf16"))
+    single = np.asarray(blend_two_images(jnp.asarray(a), jnp.asarray(b),
+                                         dtype="bf16"))
+    # bf16 rounding differs slightly between the halo and padded formulations
+    assert np.abs(got - single).max() < 4.0
+    f32 = np.asarray(blend_two_images(jnp.asarray(a), jnp.asarray(b)))
+    assert np.abs(got - f32).max() < 8.0  # still a faithful blend
+
+
 def test_sharded_programs_are_cached_across_calls(rng):
     """Per-edge calls with the same geometry must reuse the compiled SPMD
     programs (the jit cache is keyed on the wrapper object, so a fresh
