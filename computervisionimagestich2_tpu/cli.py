@@ -39,6 +39,10 @@ def build_config(args):
     if args.blend_dtype != "f32":
         cfg = dataclasses.replace(
             cfg, blend=dataclasses.replace(cfg.blend, dtype=args.blend_dtype))
+    if args.seam_band:
+        cfg = dataclasses.replace(
+            cfg, blend=dataclasses.replace(cfg.blend,
+                                           seam_band=args.seam_band))
     return cfg
 
 
@@ -69,6 +73,13 @@ def make_parser() -> argparse.ArgumentParser:
                    help="bf16 = reduced-precision pyramid blend (~2x less "
                         "HBM traffic; a few u8 levels of rounding in smooth "
                         "gradients). f32 = parity default")
+    p.add_argument("--seam-band", type=int, default=0, metavar="PX",
+                   help="pyramid-blend only a 4*PX-wide window at each "
+                        "seam, copying the rest (O(H x band) per edge "
+                        "instead of O(H x canvas width)); 0 = the "
+                        "reference's full-canvas blend (default). Pair "
+                        "with --gain-compensation to absorb per-frame "
+                        "exposure steps the narrow band can't hide")
     p.add_argument("--color-transfer", action="store_true",
                    help="per-edge Reinhard color transfer of each incoming "
                         "image toward its stitch partner (the reference's "

@@ -132,6 +132,12 @@ class BlendConfig:
     # the bytes roughly halves the time, at a few u8 levels of rounding in
     # smooth gradients (models/blender.py::blend_stacked). FIR blur only.
     dtype: str = "f32"
+    # 0 (parity default) = blend the full canvas like the reference;
+    # > 0 = pyramid-blend only a 4*seam_band-wide window at the seam and
+    # copy a/b elsewhere (models/blender.py::blend_seam_band) — per-edge
+    # blend cost becomes O(H x band) instead of O(H x W_canvas), the
+    # OpenCV-MultiBandBlender-style extension for long chains.
+    seam_band: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -141,6 +141,77 @@ def blend_stacked(s0: jnp.ndarray, levels: int,
     return expand.astype(jnp.float32)
 
 
+def blend_edge(a: jnp.ndarray, b: jnp.ndarray, bcfg,
+               content_h: jnp.ndarray | int | None = None) -> jnp.ndarray:
+    """Config-driven blend dispatch: the reference's full-canvas pyramid
+    (BlendConfig.seam_band == 0) or the seam-band window extension."""
+    if bcfg.seam_band > 0:
+        return blend_seam_band(a, b, bcfg.seam_band, bcfg.level_mode,
+                               bcfg.blur_sigma, bcfg.blur_impl, content_h,
+                               bcfg.dtype)
+    return blend_two_images(a, b, bcfg.level_mode, bcfg.blur_sigma,
+                            bcfg.blur_impl, content_h, bcfg.dtype)
+
+
+@partial(jax.jit, static_argnames=("band", "level_mode", "blur_sigma",
+                                   "blur_impl", "dtype"))
+def blend_seam_band(a: jnp.ndarray, b: jnp.ndarray, band: int,
+                    level_mode: str = "max",
+                    blur_sigma: float = 2.0,
+                    blur_impl: str = "fir",
+                    content_h: jnp.ndarray | int | None = None,
+                    dtype: str = "f32") -> jnp.ndarray:
+    """Seam-band multi-band blend: pyramid-blend ONLY a window around the
+    seam; copy a/b verbatim elsewhere.
+
+    The reference blends the FULL canvas per edge (blendTwoImages,
+    ImageProcess.cpp:648-773), so late edges of a long chain redo
+    O(H x W_total) work for a seam that moved by one image width. This is
+    the OpenCV-MultiBandBlender-style alternative (an extension, off by
+    default): cost O(H x 4*band) per edge regardless of canvas width, with
+    the luma transition confined to ~band pixels instead of the reference's
+    canvas-wide low-frequency ramp.
+
+    Mechanics: a [H, 4*band] window is sliced (traced offset — one compile
+    per canvas shape) centered on the half-plane seam column; pyramid depth
+    is capped so the accumulated blur support (~8*2^levels for sigma=2)
+    stays inside the outer band-wide margins, whose artifacts (resize
+    zero-pad, blur replicate-pad at artificial borders) are discarded —
+    only the central 2*band columns are pasted back, so the paste boundary
+    is continuous with the copied region (tested < 1 u8).
+
+    Seams within ``band`` columns of a canvas edge degrade to a hard cut in
+    the copy region (overlaps live in the canvas interior in practice).
+    Canvases narrower than 4*band fall back to the full blend.
+
+    Pair with BlendConfig.gain_compensation: the reference's full-depth
+    blend hides per-frame exposure differences by smearing them across the
+    whole canvas; a narrow band cannot, so exposure steps show unless the
+    incoming image's overlap luma is gain-matched first (verified visually
+    on Input/: banding without gain, clean with)."""
+    h, w = int(a.shape[0]), int(a.shape[1])
+    wb = 4 * band
+    if wb > w:
+        return blend_two_images(a, b, level_mode, blur_sigma, blur_impl,
+                                content_h, dtype)
+    mask0 = half_plane_mask(a, b, content_h)
+    # seam column: the half-plane row has one transition; count the prefix
+    # equal to its first value (works for both left- and right-side masks)
+    mask_row = mask0[0]
+    t = jnp.sum((mask_row == mask_row[0]).astype(jnp.int32))
+    s = jnp.clip(t - wb // 2, 0, w - wb)
+    stacked = jnp.concatenate([a, b, mask0[..., None]], axis=-1)
+    win = jax.lax.dynamic_slice_in_dim(stacked, s, wb, axis=1)
+    # support(levels) ~ 8 * 2^levels original-resolution pixels must fit in
+    # the discarded band-wide margin
+    levels = max(1, min(n_levels(h, wb, level_mode),
+                        int(math.log2(max(band // 8, 2)))))
+    blended_win = blend_stacked(win, levels, blur_sigma, blur_impl, dtype)
+    copy = jnp.where(mask0[..., None] == 1.0, a, b)
+    inner = jax.lax.dynamic_slice_in_dim(blended_win, band, 2 * band, axis=1)
+    return jax.lax.dynamic_update_slice_in_dim(copy, inner, s + band, axis=1)
+
+
 @partial(jax.jit, static_argnames=("level_mode", "blur_sigma", "blur_impl",
                                    "dtype"))
 def blend_two_images(a: jnp.ndarray, b: jnp.ndarray,

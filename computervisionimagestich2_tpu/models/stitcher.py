@@ -44,7 +44,7 @@ from ..ops.warp import cylindrical_project, trunc_u8, warp_points
 from ..utils import artifacts, obs
 from ..utils.io import load_image, save_image
 from . import compose
-from .blender import blend_two_images
+from .blender import blend_edge
 from .equalization import equalize_and_mix
 from .matcher import match_features_bidir
 from .registration import all_pairs_match_counts, register_edge
@@ -97,10 +97,7 @@ def _composite_and_blend(proj_dst, result, bwd, min_x, min_y,
         from .gain import gain_compensate
 
         a = gain_compensate(a, b)
-    blended = blend_two_images(a, b, cfg.blend.level_mode,
-                               cfg.blend.blur_sigma,
-                               cfg.blend.blur_impl, out_hw[0],
-                               cfg.blend.dtype)
+    blended = blend_edge(a, b, cfg.blend, out_hw[0])
     return trunc_u8(blended[:out_hw[0], :out_hw[1]])
 
 
@@ -320,10 +317,7 @@ class Stitcher:
         feats[pre_i] = _update_features_by_offset(
             feats[pre_i], jnp.float32(int(min_x)), jnp.float32(int(min_y)))
 
-        blended = blend_two_images(a, b, cfg.blend.level_mode,
-                                   cfg.blend.blur_sigma,
-                                   cfg.blend.blur_impl, new_h,
-                                   cfg.blend.dtype)
+        blended = blend_edge(a, b, cfg.blend, new_h)
         return trunc_u8(blended[:new_h, :new_w]), dst_i
 
     def _stitch_planned(self, result, projected, edge_seq):

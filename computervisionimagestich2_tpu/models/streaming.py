@@ -27,7 +27,7 @@ from ..ops.color import to_gray
 from ..ops.warp import cylindrical_project, trunc_u8
 from ..utils import obs
 from . import compose
-from .blender import blend_two_images
+from .blender import blend_edge
 from .registration import register_edge
 from .sift import sift_extract
 from .stitcher import _update_features_by_offset, _update_features_by_warp
@@ -124,10 +124,7 @@ class StreamingStitcher:
         a, b = compose.composite(img, self._result, backward,
                                  min_x, min_y, (new_h, new_w),
                                  cfg.warp_model)
-        blended = blend_two_images(a, b, cfg.blend.level_mode,
-                                   cfg.blend.blur_sigma,
-                                   cfg.blend.blur_impl, ext_h,
-                                   cfg.blend.dtype)
+        blended = blend_edge(a, b, cfg.blend, ext_h)
         self._result = trunc_u8(blended)
 
         # the new frame's features become the prev-frame anchor; the

@@ -122,6 +122,53 @@ def test_blend_bf16_close_to_f32(rng):
         blend_two_images(a, b, blur_impl="vanvliet", dtype="bf16")
 
 
+def test_blend_seam_band(rng):
+    """Seam-band blend: exact copy outside the pasted window, continuous
+    at the paste boundaries, smooth across the seam inside."""
+    from computervisionimagestich2_tpu.models.blender import (
+        blend_seam_band, half_plane_mask)
+
+    h, w, band = 64, 640, 32
+    # smooth overlapping gradients (a hard seam would be visible if the
+    # band blend failed); seam lands mid-canvas
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+    a = np.zeros((h, w, 3), np.float32)
+    b = np.zeros((h, w, 3), np.float32)
+    a[:, :400] = (120 + 60 * np.sin(xs / 40) + ys / 8)[:, :400, None]
+    b[:, 240:] = (90 + 50 * np.cos(xs / 55) + ys / 9)[:, 240:, None]
+    out = np.asarray(blend_seam_band(a, b, band))
+    mask = np.asarray(half_plane_mask(a, b))
+    copy = np.where(mask[..., None] == 1.0, a, b)
+    t = int(np.sum(mask[0] == mask[0, 0]))
+    s = np.clip(t - 2 * band, 0, w - 4 * band)
+    lo, hi = s + band, s + 3 * band
+    # exact copy outside the pasted central window
+    np.testing.assert_array_equal(out[:, :lo], copy[:, :lo])
+    np.testing.assert_array_equal(out[:, hi:], copy[:, hi:])
+    # continuous at the paste boundary (the discarded margins absorb the
+    # window-border artifacts)
+    assert np.abs(out[:, lo] - out[:, lo - 1]).max() < 8.0
+    assert np.abs(out[:, hi] - out[:, hi - 1]).max() < 8.0
+    # the seam itself is smoothed: no adjacent-column jump anywhere near
+    # the raw |a-b| step at the mask transition
+    raw_step = np.abs(a[:, t - 1] - b[:, t]).max()
+    steps = np.abs(np.diff(out[:, lo:hi], axis=1)).max()
+    assert steps < max(raw_step / 2, 10.0), (steps, raw_step)
+
+
+def test_blend_seam_band_narrow_falls_back_to_full(rng):
+    from computervisionimagestich2_tpu.models.blender import blend_seam_band
+
+    h, w = 40, 96
+    a = np.zeros((h, w, 3), np.float32)
+    b = np.zeros((h, w, 3), np.float32)
+    a[:, 30:] = rng.integers(40, 255, (h, 66, 3)).astype(np.float32)
+    b[:, :60] = rng.integers(40, 255, (h, 60, 3)).astype(np.float32)
+    got = np.asarray(blend_seam_band(a, b, 64))
+    expect = np.asarray(blend_two_images(a, b))
+    np.testing.assert_array_equal(got, expect)
+
+
 def test_blend_nonoverlap_passthrough(rng):
     """Outside the seam region each side should keep (approximately) its own
     content."""

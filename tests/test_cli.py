@@ -52,6 +52,12 @@ def test_blend_dtype_flag_threads_into_config():
         "bf16"
 
 
+def test_seam_band_flag_threads_into_config():
+    cfg = cli.build_config(parse("--seam-band", "256"))
+    assert cfg.blend.seam_band == 256
+    assert cli.build_config(parse()).blend.seam_band == 0
+
+
 def test_bucketed_canvas_flag_overrides_exact():
     a = parse("--exact-canvas", "--bucketed-canvas")
     assert not cli.build_config(a).exact_canvas
