@@ -36,6 +36,10 @@ def build_config(args):
     if args.gain_compensation:
         cfg = dataclasses.replace(
             cfg, blend=dataclasses.replace(cfg.blend, gain_compensation=True))
+    if args.gain_mode != "luma":
+        cfg = dataclasses.replace(
+            cfg, blend=dataclasses.replace(cfg.blend,
+                                           gain_mode=args.gain_mode))
     if args.blend_dtype != "f32":
         cfg = dataclasses.replace(
             cfg, blend=dataclasses.replace(cfg.blend, dtype=args.blend_dtype))
@@ -69,6 +73,10 @@ def make_parser() -> argparse.ArgumentParser:
                    help="bilinear = reference-exact; projective = true DLT")
     p.add_argument("--gain-compensation", action="store_true",
                    help="match overlap luma before blending")
+    p.add_argument("--gain-mode", choices=["luma", "rgb"], default="luma",
+                   help="gain-compensation statistic: one scalar luma gain "
+                        "or per-channel gains (also removes tint steps; "
+                        "recommended with --seam-band)")
     p.add_argument("--blend-dtype", choices=["f32", "bf16"], default="f32",
                    help="bf16 = reduced-precision pyramid blend (~2x less "
                         "HBM traffic; a few u8 levels of rounding in smooth "

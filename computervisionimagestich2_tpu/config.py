@@ -127,6 +127,9 @@ class BlendConfig:
     # Extension beyond the reference (BASELINE.json config 4): match the
     # incoming image's overlap-mean luma to the canvas before blending.
     gain_compensation: bool = False
+    # "luma" = one scalar gain; "rgb" = one gain per channel (also removes
+    # tint steps — recommended with seam_band, models/gain.py).
+    gain_mode: str = "luma"
     # "f32" (parity default) | "bf16": run the pyramid chain in bfloat16 —
     # the blend is HBM-bandwidth-bound at panorama canvas sizes, so halving
     # the bytes roughly halves the time, at a few u8 levels of rounding in

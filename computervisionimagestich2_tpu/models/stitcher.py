@@ -96,7 +96,7 @@ def _composite_and_blend(proj_dst, result, bwd, min_x, min_y,
     if cfg.blend.gain_compensation:
         from .gain import gain_compensate
 
-        a = gain_compensate(a, b)
+        a = gain_compensate(a, b, cfg.blend.gain_mode)
     blended = blend_edge(a, b, cfg.blend, out_hw[0])
     return trunc_u8(blended[:out_hw[0], :out_hw[1]])
 
@@ -309,7 +309,7 @@ class Stitcher:
         if cfg.blend.gain_compensation:
             from .gain import gain_compensate
 
-            a = gain_compensate(a, b)
+            a = gain_compensate(a, b, cfg.blend.gain_mode)
 
         feats[dst_i] = _update_features_by_warp(
             feats[dst_i], forward, jnp.float32(min_x), jnp.float32(min_y),

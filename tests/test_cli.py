@@ -58,6 +58,12 @@ def test_seam_band_flag_threads_into_config():
     assert cli.build_config(parse()).blend.seam_band == 0
 
 
+def test_gain_mode_flag_threads_into_config():
+    cfg = cli.build_config(parse("--gain-compensation", "--gain-mode", "rgb"))
+    assert cfg.blend.gain_compensation and cfg.blend.gain_mode == "rgb"
+    assert cli.build_config(parse()).blend.gain_mode == "luma"
+
+
 def test_bucketed_canvas_flag_overrides_exact():
     a = parse("--exact-canvas", "--bucketed-canvas")
     assert not cli.build_config(a).exact_canvas

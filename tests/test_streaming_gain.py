@@ -19,6 +19,25 @@ def test_gain_compensate_matches_means(rng):
     assert out[:, :20].sum() == 0
 
 
+def test_gain_compensate_rgb_removes_tint(rng):
+    """Per-channel mode recovers a per-channel exposure/tint step the
+    scalar luma gain cannot (mode='rgb', models/gain.py)."""
+    h, w = 40, 60
+    scale = np.asarray([0.8, 1.1, 0.6], np.float32)
+    base = rng.uniform(60, 180, (h, w, 3)).astype(np.float32)
+    a = np.zeros((h, w, 3), np.float32)
+    b = np.zeros((h, w, 3), np.float32)
+    a[:, 20:] = base[:, 20:] * scale       # tinted incoming image
+    b[:, :40] = base[:, :40]               # canvas; overlap x in [20, 40)
+    out = np.asarray(gain_compensate(a, b, "rgb"))
+    got_means = out[:, 20:40].mean(axis=(0, 1))
+    want_means = b[:, 20:40].mean(axis=(0, 1))
+    np.testing.assert_allclose(got_means, want_means, rtol=0.02)
+    luma = np.asarray(gain_compensate(a, b, "luma"))
+    # luma mode equalizes overall brightness but leaves the tint
+    assert np.abs(luma[:, 20:40].mean(axis=(0, 1)) - want_means).max() > 5.0
+
+
 def test_gain_compensate_clamped(rng):
     a = np.full((10, 10, 3), 10.0, np.float32)
     b = np.full((10, 10, 3), 250.0, np.float32)
