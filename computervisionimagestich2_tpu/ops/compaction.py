@@ -54,8 +54,19 @@ def compact_indices(mask: jnp.ndarray, capacity: int):
     excl = csum - cnt
 
     j = jnp.arange(capacity, dtype=jnp.int32)
-    blk = jnp.clip(jnp.searchsorted(csum, j, side="right"), 0, nb - 1)
-    blk = blk.astype(jnp.int32)
+    # blk[j] = searchsorted(csum, j, "right") = #{b : csum[b] <= j}. The
+    # direct searchsorted costs capacity x log2(nb) POINT GATHERS (~9 ns
+    # each: 3.8 ms at 1080p's capacity=32768, nb=13.7k — measured); as a
+    # histogram of csum values + cumsum it is ONE nb-sized scatter-add
+    # (~0.2 ms). For small capacities the gather tail is cheaper than the
+    # nb-scatter, so pick by the static sizes.
+    if capacity * 14 > nb:
+        hist = jnp.zeros((capacity + 1,), jnp.int32)
+        hist = hist.at[jnp.clip(csum, 0, capacity)].add(1, mode="drop")
+        blk = jnp.cumsum(hist)[:-1]
+    else:
+        blk = jnp.searchsorted(csum, j, side="right")
+    blk = jnp.clip(blk, 0, nb - 1).astype(jnp.int32)
     rank = jnp.clip(j - excl[blk], 0, _LANES - 1)
     idx = blk * _LANES + skeys[blk, rank]
     valid = j < total

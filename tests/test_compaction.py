@@ -14,7 +14,10 @@ from computervisionimagestich2_tpu.ops.compaction import (
     (1000, 1.0, 2048),       # full mask, cap > n
     (128, 0.3, 128),         # exactly one lane block
     (127, 0.3, 64),          # non-multiple of 128
-    (3 * 500 * 700, 0.002, 4096),  # octave-scale
+    (3 * 500 * 700, 0.002, 4096),  # octave-scale (histogram blk branch)
+    (3 * 500 * 700, 0.002, 512),   # octave-scale (searchsorted blk branch)
+    (2048 * 128, 0.9, 128),        # nb >> cap, heavy overflow (searchsorted)
+    (2048 * 128, 0.9, 32768),      # cap >> nb (histogram)
 ])
 def test_matches_nonzero(n, density, cap):
     rng = np.random.default_rng(n + cap)
