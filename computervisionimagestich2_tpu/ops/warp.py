@@ -334,14 +334,23 @@ def shift_image(src: jnp.ndarray, offset_x: jnp.ndarray, offset_y: jnp.ndarray,
         out = jnp.zeros(out_shape + (src.shape[2],), dtype=src.dtype)
     h, w = out.shape[0], out.shape[1]
     src_h, src_w = src.shape[0], src.shape[1]
+    # A translation is a pad + ONE dynamic_slice — the obvious 2D point
+    # gather (src[ys + oy, xs + ox]) runs at ~9 ns/element on TPU (14.8 ms
+    # measured on a 4-image 1080p canvas, 370x its HBM roofline; it
+    # dominated the fused per-edge composite). Padding by h/w on BOTH sides
+    # keeps the slice start in-range for every offset with any overlap
+    # (offset in [-h, src_h] x [-w, src_w]); outside that range
+    # dynamic_slice clamps, but then EVERY output pixel fails the validity
+    # test below, so the clamped (wrong-position) copy is masked away.
+    oy = jnp.asarray(offset_y, jnp.int32)
+    ox = jnp.asarray(offset_x, jnp.int32)
+    padded = jnp.pad(src, ((h, h), (w, w), (0, 0)))
+    vals = jax.lax.dynamic_slice(
+        padded, (oy + h, ox + w, jnp.int32(0)), (h, w, src.shape[2]))
     ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    nx = xs + offset_x
-    ny = ys + offset_y
-    valid = (nx >= 0) & (nx < src_w) & (ny >= 0) & (ny < src_h)
-    nx_c = jnp.clip(nx, 0, src_w - 1)
-    ny_c = jnp.clip(ny, 0, src_h - 1)
-    vals = src[ny_c, nx_c]
+    valid = ((xs + ox >= 0) & (xs + ox < src_w)
+             & (ys + oy >= 0) & (ys + oy < src_h))
     return jnp.where(valid[..., None], vals, out)
 
 

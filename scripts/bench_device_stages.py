@@ -167,6 +167,50 @@ def main():
     add("register_edge", reg, feats.desc,
         cap * 128 * 4 * 2, live * live * 128 * 3)
 
+    # per-edge composite path at panorama-canvas scale: banded warp vs
+    # gather warp, offset copy, u8 truncation, and the fused per-edge
+    # program the stitcher actually dispatches (stitcher._composite_and_blend)
+    from computervisionimagestich2_tpu.models.blender import blend_edge
+    from computervisionimagestich2_tpu.ops.warp import (
+        banded_warp_params, shift_image, trunc_u8, warp_image,
+        warp_image_banded)
+
+    ch2, cw2 = H + 64, int(W * 2.15)   # ~4-image chain canvas
+    canvas = jnp.zeros((ch2, cw2, 3), jnp.float32).at[:H, :W].set(proj)
+    bwd = jnp.asarray(np.array([1.0, 0.02, 0.0, -0.32 * W,
+                                0.01, 1.0, 0.0, 12.0], np.float32))
+    minx, miny = jnp.float32(-0.33 * W), jnp.float32(-20.0)
+    bands = banded_warp_params(np.asarray(bwd), (ch2, cw2), float(minx),
+                               float(miny), (H, W))
+    cbytes = ch2 * cw2 * 3 * 4
+    if bands is not None:
+        add("warp_banded (canvas)",
+            lambda x: warp_image_banded(x, bwd, minx, miny, (ch2, cw2),
+                                        bands[0], bands[1]).sum(),
+            proj, npix * 3 * 4 + cbytes, ch2 * cw2 * 3 * 20)
+    add("warp_gather (canvas)",
+        lambda x: warp_image(x, bwd, minx, miny,
+                             out_shape=(ch2, cw2)).sum(),
+        proj, npix * 3 * 4 + cbytes, ch2 * cw2 * 3 * 20)
+    add("shift_image (canvas)",
+        lambda x: shift_image(x, jnp.int32(-106), jnp.int32(-20),
+                              out_shape=(ch2, cw2)).sum(),
+        canvas, cbytes * 2, 0)
+    add("trunc_u8 (canvas)",
+        lambda x: trunc_u8(x).astype(jnp.float32).sum(), canvas,
+        cbytes + ch2 * cw2 * 3, ch2 * cw2 * 3 * 2)
+
+    def fused_composite(x):
+        a = (warp_image_banded(x, bwd, minx, miny, (ch2, cw2),
+                               bands[0], bands[1]) if bands is not None
+             else warp_image(x, bwd, minx, miny, out_shape=(ch2, cw2)))
+        bsh = shift_image(canvas, jnp.int32(-106), jnp.int32(-20),
+                          out_shape=(ch2, cw2))
+        blended = blend_edge(a, bsh, cfg.blend, ch2)
+        return trunc_u8(blended[:ch2, :cw2]).astype(jnp.float32).sum()
+    add("fused_composite (edge)", fused_composite, proj,
+        cbytes * 10, ch2 * cw2 * 3 * 220)
+
     print(json.dumps({"floor_ms": round(floor, 2), "hw": [H, W],
                       "k": K, "stages": stages}))
 
