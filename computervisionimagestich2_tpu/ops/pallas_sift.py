@@ -184,10 +184,12 @@ def _desc_kernel(nv_ref, yx_ref, par_ref, mod_hbm, ang_hbm,
         dvec = jax.lax.dot_general(ones, acc[...], (((1,), (1,)), ((), ())),
                                    preferred_element_type=jnp.float32)
 
-        norm1 = jnp.sqrt(jnp.sum(dvec * dvec)) + EPSILON_F
-        d = jnp.minimum(dvec / norm1, 0.2)
-        norm2 = jnp.sqrt(jnp.sum(d * d)) + EPSILON_F
-        desc_ref[pl.ds(i, 1), :] = jnp.where(okf > 0, d / norm2, 0.0)
+        # RAW bin sums only — the normalize/clamp/renormalize tail
+        # (vl/sift.c:1420-1438) runs in XLA over the whole [N, 128] batch
+        # afterward: in-kernel it was two cross-lane reduces + rsqrts on a
+        # single (1, 128) row, pure serial latency that measured ~0.5 us of
+        # the ~1.25 us step (ablation bisect, RESULTS round-2f)
+        desc_ref[pl.ds(i, 1), :] = jnp.where(okf > 0, dvec, 0.0)
 
 
 @partial(jax.jit, static_argnames=("radius", "w", "h", "magnif",
@@ -243,6 +245,12 @@ def descriptors_pallas(mod_pad: jnp.ndarray, ang_pad: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((n, _LANES), jnp.float32),
         interpret=interpret,
     )(n_valid, yx, par, mod_pad, ang_pad)
+    # batched normalize/clamp/renormalize (vl/sift.c:1420-1438) — same
+    # op order as the old in-kernel tail; zero rows stay zero
+    norm1 = jnp.sqrt(jnp.sum(desc * desc, axis=1, keepdims=True)) + EPSILON_F
+    d = jnp.minimum(desc / norm1, 0.2)
+    norm2 = jnp.sqrt(jnp.sum(d * d, axis=1, keepdims=True)) + EPSILON_F
+    desc = d / norm2
     slot_live = jnp.arange(n) < n_valid[0]
     return desc, ok & slot_live
 
