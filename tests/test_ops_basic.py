@@ -124,6 +124,30 @@ def test_shift_image_matches_offset_semantics():
     assert out[0].sum() == 0 and out[:, :2].sum() == 0
 
 
+def test_shift_image_offset_sweep_matches_scalar_oracle(rng):
+    """Randomized offsets incl. partial/total overlap and far out-of-range
+    (guards the pad + dynamic_slice formulation's clamp handling)."""
+    def oracle(src, ox, oy, out):
+        res = out.copy()
+        for yy in range(out.shape[0]):
+            for xx in range(out.shape[1]):
+                sy, sx = yy + oy, xx + ox
+                if 0 <= sy < src.shape[0] and 0 <= sx < src.shape[1]:
+                    res[yy, xx] = src[sy, sx]
+        return res
+
+    for _ in range(25):
+        sh, sw = rng.integers(1, 14, 2)
+        h, w = rng.integers(1, 14, 2)
+        src = rng.random((sh, sw, 3)).astype(np.float32)
+        out = rng.random((h, w, 3)).astype(np.float32)
+        ox = int(rng.integers(-h - sw - 3, sh + w + 3))
+        oy = int(rng.integers(-h - sh - 3, sh + h + 3))
+        got = np.asarray(warp.shift_image(
+            src, np.int32(ox), np.int32(oy), out=out))
+        np.testing.assert_array_equal(got, oracle(src, ox, oy, out))
+
+
 # -------------------------------------------------------------- gaussian blur
 def test_gauss_taps_match_vlfeat_formula():
     sigma = 1.23
