@@ -69,6 +69,19 @@ def _patch_copy(hbm_ref, yx_ref, k, buf_ref, slot, sem_ref, p: int):
         buf_ref.at[slot], sem_ref.at[slot])
 
 
+def _patch_copy_pair(hbm_ref, yx_ref, k, buf_ref, slot, sem_ref, p: int):
+    """One DMA for BOTH gradient planes: hbm_ref is the [2, Hp, Wp]
+    stacked (modulus, angle) field, the copy grabs a [2, rows, 256] window.
+    Per grid step this is ONE start + ONE wait (+ one downstream roll on
+    the row-stacked view) where the split-plane form paid two of each —
+    the walk kernels are step-overhead-bound, not pixel-bound."""
+    y0a = pl.multiple_of(((yx_ref[k] >> 16) >> 3) << 3, 8)
+    x0a = pl.multiple_of(((yx_ref[k] & 0xFFFF) >> 7) << 7, _LANES)
+    return pltpu.make_async_copy(
+        hbm_ref.at[:, pl.ds(y0a, _rows(p)), pl.ds(x0a, 2 * _LANES)],
+        buf_ref.at[slot], sem_ref.at[slot])
+
+
 def _hat(v):
     return jnp.maximum(0.0, 1.0 - jnp.abs(v))
 
@@ -80,8 +93,8 @@ def _hat_circular(v, n: int):
 
 
 # ------------------------------------------------------------- descriptors
-def _desc_kernel(nv_ref, yx_ref, par_ref, mod_hbm, ang_hbm,
-                 desc_ref, pm, pa, sems, acc, *,
+def _desc_kernel(nv_ref, yx_ref, par_ref, grad_hbm,
+                 desc_ref, pg, sems, acc, *,
                  radius: int, w: int, h: int, magnif: float,
                  window_size: float, nbp: int, nbo: int):
     i = pl.program_id(0)
@@ -90,14 +103,12 @@ def _desc_kernel(nv_ref, yx_ref, par_ref, mod_hbm, ang_hbm,
 
     @pl.when((i == 0) & (nv > 0))
     def _():
-        _patch_copy(mod_hbm, yx_ref, 0, pm, 0, sems.at[:, 0], p).start()
-        _patch_copy(ang_hbm, yx_ref, 0, pa, 0, sems.at[:, 1], p).start()
+        _patch_copy_pair(grad_hbm, yx_ref, 0, pg, 0, sems, p).start()
 
     @pl.when(i + 1 < nv)
     def _():
         nxt = (i + 1) % 2
-        _patch_copy(mod_hbm, yx_ref, i + 1, pm, nxt, sems.at[:, 0], p).start()
-        _patch_copy(ang_hbm, yx_ref, i + 1, pa, nxt, sems.at[:, 1], p).start()
+        _patch_copy_pair(grad_hbm, yx_ref, i + 1, pg, nxt, sems, p).start()
 
     # zero the whole output once; dead steps (i >= nv) then cost ~nothing
     @pl.when(i == 0)
@@ -107,8 +118,7 @@ def _desc_kernel(nv_ref, yx_ref, par_ref, mod_hbm, ang_hbm,
     @pl.when(i < nv)
     def _():
         slot = i % 2
-        _patch_copy(mod_hbm, yx_ref, i, pm, slot, sems.at[:, 0], p).wait()
-        _patch_copy(ang_hbm, yx_ref, i, pa, slot, sems.at[:, 1], p).wait()
+        _patch_copy_pair(grad_hbm, yx_ref, i, pg, slot, sems, p).wait()
 
         x = par_ref[i, 0]
         y = par_ref[i, 1]
@@ -124,10 +134,14 @@ def _desc_kernel(nv_ref, yx_ref, par_ref, mod_hbm, ang_hbm,
         dx0 = xi0 - ((xi0 >> 7) << 7)
         # rotate the lane-alignment residual away: the window then starts
         # at lane 0 and fits p <= 128 lanes, so every elementwise/reduce op
-        # below runs on half the lanes of the raw [rows, 256] DMA buffer
+        # below runs on half the lanes of the raw DMA buffer. ONE roll on
+        # the row-stacked [2*rows, 256] view covers both planes (the shift
+        # is identical); the reshape is a leading-dim collapse, free.
         shift = jax.lax.rem(2 * _LANES - dx0, 2 * _LANES)
-        m = pltpu.roll(pm[slot], shift, axis=1)[:, :_LANES]
-        a = pltpu.roll(pa[slot], shift, axis=1)[:, :_LANES]
+        both = pltpu.roll(
+            pg[slot].reshape(2 * _rows(p), 2 * _LANES), shift, axis=1)
+        m = both[:_rows(p), :_LANES]
+        a = both[_rows(p):, :_LANES]
 
         col = jax.lax.broadcasted_iota(jnp.int32, (_rows(p), _LANES), 1)
         row = jax.lax.broadcasted_iota(jnp.int32, (_rows(p), _LANES), 0)
@@ -224,6 +238,9 @@ def descriptors_pallas(mod_pad: jnp.ndarray, ang_pad: jnp.ndarray,
 
     kernel = partial(_desc_kernel, radius=radius, w=w, h=h, magnif=magnif,
                      window_size=window_size, nbp=nbp, nbo=nbo)
+    # stack the two planes on a MAJOR dim (cheap HBM copy) so each grid
+    # step issues one [2, rows, 256] DMA instead of two
+    grad_pad = jnp.stack([mod_pad, ang_pad])
     desc = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -232,19 +249,17 @@ def descriptors_pallas(mod_pad: jnp.ndarray, ang_pad: jnp.ndarray,
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.HBM),
-                pl.BlockSpec(memory_space=pltpu.HBM),
             ],
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((2, _rows(p), 2 * _LANES), jnp.float32),
-                pltpu.VMEM((2, _rows(p), 2 * _LANES), jnp.float32),
-                pltpu.SemaphoreType.DMA((2, 2)),
+                pltpu.VMEM((2, 2, _rows(p), 2 * _LANES), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
                 pltpu.VMEM((_LANES, _LANES), jnp.float32),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((n, _LANES), jnp.float32),
         interpret=interpret,
-    )(n_valid, yx, par, mod_pad, ang_pad)
+    )(n_valid, yx, par, grad_pad)
     # batched normalize/clamp/renormalize (vl/sift.c:1420-1438) — same
     # op order as the old in-kernel tail; zero rows stay zero
     norm1 = jnp.sqrt(jnp.sum(desc * desc, axis=1, keepdims=True)) + EPSILON_F
@@ -256,8 +271,8 @@ def descriptors_pallas(mod_pad: jnp.ndarray, ang_pad: jnp.ndarray,
 
 
 # ------------------------------------------------------------ orientations
-def _ori_kernel(nv_ref, yx_ref, par_ref, mod_hbm, ang_hbm, hist_ref,
-                pm, pa, sems, acc, *, radius: int, w: int, h: int,
+def _ori_kernel(nv_ref, yx_ref, par_ref, grad_hbm, hist_ref,
+                pg, sems, acc, *, radius: int, w: int, h: int,
                 n_bins: int, winf: float):
     i = pl.program_id(0)
     nv = nv_ref[0]
@@ -265,14 +280,12 @@ def _ori_kernel(nv_ref, yx_ref, par_ref, mod_hbm, ang_hbm, hist_ref,
 
     @pl.when((i == 0) & (nv > 0))
     def _():
-        _patch_copy(mod_hbm, yx_ref, 0, pm, 0, sems.at[:, 0], p).start()
-        _patch_copy(ang_hbm, yx_ref, 0, pa, 0, sems.at[:, 1], p).start()
+        _patch_copy_pair(grad_hbm, yx_ref, 0, pg, 0, sems, p).start()
 
     @pl.when(i + 1 < nv)
     def _():
         nxt = (i + 1) % 2
-        _patch_copy(mod_hbm, yx_ref, i + 1, pm, nxt, sems.at[:, 0], p).start()
-        _patch_copy(ang_hbm, yx_ref, i + 1, pa, nxt, sems.at[:, 1], p).start()
+        _patch_copy_pair(grad_hbm, yx_ref, i + 1, pg, nxt, sems, p).start()
 
     # zero the whole output once; dead steps (i >= nv) then cost ~nothing
     @pl.when(i == 0)
@@ -282,8 +295,7 @@ def _ori_kernel(nv_ref, yx_ref, par_ref, mod_hbm, ang_hbm, hist_ref,
     @pl.when(i < nv)
     def _():
         slot = i % 2
-        _patch_copy(mod_hbm, yx_ref, i, pm, slot, sems.at[:, 0], p).wait()
-        _patch_copy(ang_hbm, yx_ref, i, pa, slot, sems.at[:, 1], p).wait()
+        _patch_copy_pair(grad_hbm, yx_ref, i, pg, slot, sems, p).wait()
 
         x = par_ref[i, 0]
         y = par_ref[i, 1]
@@ -298,8 +310,10 @@ def _ori_kernel(nv_ref, yx_ref, par_ref, mod_hbm, ang_hbm, hist_ref,
         dx0 = xi0 - ((xi0 >> 7) << 7)
         # see _desc_kernel: rotate the residual away, compute on 128 lanes
         shift = jax.lax.rem(2 * _LANES - dx0, 2 * _LANES)
-        m = pltpu.roll(pm[slot], shift, axis=1)[:, :_LANES]
-        a = pltpu.roll(pa[slot], shift, axis=1)[:, :_LANES]
+        both = pltpu.roll(
+            pg[slot].reshape(2 * _rows(p), 2 * _LANES), shift, axis=1)
+        m = both[:_rows(p), :_LANES]
+        a = both[_rows(p):, :_LANES]
 
         col = jax.lax.broadcasted_iota(jnp.int32, (_rows(p), _LANES), 1)
         row = jax.lax.broadcasted_iota(jnp.int32, (_rows(p), _LANES), 0)
@@ -365,6 +379,7 @@ def orientation_hist_pallas(mod_pad: jnp.ndarray, ang_pad: jnp.ndarray,
 
     kernel = partial(_ori_kernel, radius=radius, w=w, h=h, n_bins=n_bins,
                      winf=winf)
+    grad_pad = jnp.stack([mod_pad, ang_pad])
     hist = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -373,17 +388,15 @@ def orientation_hist_pallas(mod_pad: jnp.ndarray, ang_pad: jnp.ndarray,
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.HBM),
-                pl.BlockSpec(memory_space=pltpu.HBM),
             ],
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((2, _rows(p), 2 * _LANES), jnp.float32),
-                pltpu.VMEM((2, _rows(p), 2 * _LANES), jnp.float32),
-                pltpu.SemaphoreType.DMA((2, 2)),
+                pltpu.VMEM((2, 2, _rows(p), 2 * _LANES), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
                 pltpu.VMEM((_LANES, _LANES), jnp.float32),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((n, _LANES), jnp.float32),
         interpret=interpret,
-    )(n_valid, yx, par, mod_pad, ang_pad)
+    )(n_valid, yx, par, grad_pad)
     return hist[:, :n_bins], ok
