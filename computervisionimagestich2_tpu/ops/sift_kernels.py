@@ -195,6 +195,10 @@ def _refine_fields(dog: jnp.ndarray, w: int, h: int, peak_thresh: float,
               + jnp.where((b0 < -0.6) & (xs > 1), -1, 0)).astype(jnp.int32)
     step_y = (jnp.where((b1 > 0.6) & (ys < h - 2), 1, 0)
               + jnp.where((b1 < -0.6) & (ys > 1), -1, 0)).astype(jnp.int32)
+    # both +-1 steps packed in one field: point gathers cost ~9 ns/element
+    # on TPU, and the chase is gather-bound — one code gather per step
+    # instead of two halves its cost
+    step_code = (step_y + 1) * 3 + (step_x + 1)
 
     val = c + 0.5 * (dx_ * b0 + dy_ * b1 + ds_ * b2)
     den = dxx * dyy - dxy * dxy
@@ -210,7 +214,7 @@ def _refine_fields(dog: jnp.ndarray, w: int, h: int, peak_thresh: float,
         & (xn >= 0) & (xn <= w - 1) & (yn >= 0) & (yn <= h - 1) \
         & (sn >= s_min) & (sn <= s_max)
     sigma = sigma0 * 2.0 ** (sn / n_levels) * xper
-    return step_x, step_y, ok, xn * xper, yn * xper, sigma
+    return step_code, ok, xn * xper, yn * xper, sigma
 
 
 @partial(jax.jit, static_argnames=("w", "h", "peak_thresh", "edge_thresh",
@@ -228,12 +232,11 @@ def refine_keypoints(dog: jnp.ndarray, coords: jnp.ndarray, valid: jnp.ndarray,
     Dense fields + 5-step position chase; the chase reaches the same fixed
     point as the reference's early-break loop (re-solving at an unmoved
     position is idempotent)."""
-    step_x, step_y, okf, xf, yf, sigmaf = _refine_fields(
+    step_code, okf, xf, yf, sigmaf = _refine_fields(
         dog, w, h, peak_thresh, edge_thresh, s_min, s_max, xper, sigma0,
         n_levels)
     n_s, hh, ww = dog.shape
-    sx_flat = step_x.reshape(-1)
-    sy_flat = step_y.reshape(-1)
+    sc_flat = step_code.reshape(-1)
 
     # the fields cover only the interior dog slices: mask slice s (= dog
     # level s+1) is field slice s
@@ -245,7 +248,8 @@ def refine_keypoints(dog: jnp.ndarray, coords: jnp.ndarray, valid: jnp.ndarray,
     def chase(_, carry):
         x, y = carry
         flat = base + y * ww + x
-        return x + sx_flat[flat], y + sy_flat[flat]
+        code = sc_flat[flat]           # (step_y+1)*3 + (step_x+1)
+        return x + code % 3 - 1, y + code // 3 - 1
 
     x, y = jax.lax.fori_loop(0, 5, chase, (x, y))
     flat = base + y * ww + x
