@@ -39,6 +39,7 @@ EPSILON_F = 1.19209290e-07   # VL_EPSILON_F
 EPSILON_D = 2.220446049250313e-16
 
 _LANES = 128
+_NSLOTS = 2   # patch DMA pipeline depth; 4 measured no better (RESULTS r2f)
 
 
 def _rows(p: int) -> int:
@@ -101,14 +102,21 @@ def _desc_kernel(nv_ref, yx_ref, par_ref, grad_hbm,
     nv = nv_ref[0]
     p = 2 * radius + 1
 
+    # _NSLOTS-deep prefetch (parametric; depth 4 measured the same as 2
+    # on v5e — the walk is compute/store-bound, not DMA-latency-bound)
     @pl.when((i == 0) & (nv > 0))
     def _():
-        _patch_copy_pair(grad_hbm, yx_ref, 0, pg, 0, sems, p).start()
+        for k in range(_NSLOTS - 1):
+            @pl.when(k < nv)
+            def _():
+                _patch_copy_pair(grad_hbm, yx_ref, k, pg, k % _NSLOTS,
+                                 sems, p).start()
 
-    @pl.when(i + 1 < nv)
+    @pl.when(i + _NSLOTS - 1 < nv)
     def _():
-        nxt = (i + 1) % 2
-        _patch_copy_pair(grad_hbm, yx_ref, i + 1, pg, nxt, sems, p).start()
+        nxt = (i + _NSLOTS - 1) % _NSLOTS
+        _patch_copy_pair(grad_hbm, yx_ref, i + _NSLOTS - 1, pg, nxt,
+                         sems, p).start()
 
     # zero the whole output once; dead steps (i >= nv) then cost ~nothing
     @pl.when(i == 0)
@@ -117,7 +125,7 @@ def _desc_kernel(nv_ref, yx_ref, par_ref, grad_hbm,
 
     @pl.when(i < nv)
     def _():
-        slot = i % 2
+        slot = i % _NSLOTS
         _patch_copy_pair(grad_hbm, yx_ref, i, pg, slot, sems, p).wait()
 
         x = par_ref[i, 0]
@@ -252,8 +260,8 @@ def descriptors_pallas(mod_pad: jnp.ndarray, ang_pad: jnp.ndarray,
             ],
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((2, 2, _rows(p), 2 * _LANES), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((_NSLOTS, 2, _rows(p), 2 * _LANES), jnp.float32),
+                pltpu.SemaphoreType.DMA((_NSLOTS,)),
                 pltpu.VMEM((_LANES, _LANES), jnp.float32),
             ],
         ),
@@ -278,14 +286,20 @@ def _ori_kernel(nv_ref, yx_ref, par_ref, grad_hbm, hist_ref,
     nv = nv_ref[0]
     p = 2 * radius + 1
 
+    # _NSLOTS-deep prefetch — see _desc_kernel
     @pl.when((i == 0) & (nv > 0))
     def _():
-        _patch_copy_pair(grad_hbm, yx_ref, 0, pg, 0, sems, p).start()
+        for k in range(_NSLOTS - 1):
+            @pl.when(k < nv)
+            def _():
+                _patch_copy_pair(grad_hbm, yx_ref, k, pg, k % _NSLOTS,
+                                 sems, p).start()
 
-    @pl.when(i + 1 < nv)
+    @pl.when(i + _NSLOTS - 1 < nv)
     def _():
-        nxt = (i + 1) % 2
-        _patch_copy_pair(grad_hbm, yx_ref, i + 1, pg, nxt, sems, p).start()
+        nxt = (i + _NSLOTS - 1) % _NSLOTS
+        _patch_copy_pair(grad_hbm, yx_ref, i + _NSLOTS - 1, pg, nxt,
+                         sems, p).start()
 
     # zero the whole output once; dead steps (i >= nv) then cost ~nothing
     @pl.when(i == 0)
@@ -294,7 +308,7 @@ def _ori_kernel(nv_ref, yx_ref, par_ref, grad_hbm, hist_ref,
 
     @pl.when(i < nv)
     def _():
-        slot = i % 2
+        slot = i % _NSLOTS
         _patch_copy_pair(grad_hbm, yx_ref, i, pg, slot, sems, p).wait()
 
         x = par_ref[i, 0]
@@ -391,8 +405,8 @@ def orientation_hist_pallas(mod_pad: jnp.ndarray, ang_pad: jnp.ndarray,
             ],
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((2, 2, _rows(p), 2 * _LANES), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((_NSLOTS, 2, _rows(p), 2 * _LANES), jnp.float32),
+                pltpu.SemaphoreType.DMA((_NSLOTS,)),
                 pltpu.VMEM((_LANES, _LANES), jnp.float32),
             ],
         ),
