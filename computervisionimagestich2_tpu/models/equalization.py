@@ -23,29 +23,52 @@ from ..ops.color import rgb_to_ycbcr, ycbcr_to_rgb
 from ..ops.warp import trunc_u8
 
 
+def _radix_onehots(idx: jnp.ndarray):
+    """Split u8 indices into exact [-..., 16] one-hots of the high and low
+    nibbles. Any 256-way per-pixel operation then factors through two
+    16-wide compares + an MXU contraction instead of a 256-wide VPU loop
+    (16x fewer compares); all values are 0/1 or small integers, exactly
+    representable at any matmul precision, so results are bit-identical
+    to the 256-wide form."""
+    nib = jnp.arange(16, dtype=jnp.int32)
+    hi = ((idx >> 4)[..., None] == nib).astype(jnp.float32)
+    lo = ((idx & 15)[..., None] == nib).astype(jnp.float32)
+    return hi, lo
+
+
 def _equalize_lut(channel_u8: jnp.ndarray) -> jnp.ndarray:
     """LUT from a u8 channel: mapped[i] = round(255 * cdf[i])
-    (equalization.cpp:57-65). The histogram is a compare+reduce (VPU tiles
-    it as one fused loop; 0.8 ms device-side at canvas scale) — scatter-add
-    is slow on TPU."""
+    (equalization.cpp:57-65). The histogram is a radix-16 factored
+    one-hot contraction: hist[h*16+l] = sum_p hi[p,h]*lo[p,l] — one
+    [16, N] x [N, 16] MXU matmul replaces the N x 256 compare+reduce
+    (scatter-add bincount is ~9 ns/element on TPU; the dense compare
+    form was 256 VPU ops/pixel). Counts < 2^24 stay exact in f32."""
     n = channel_u8.size
     vals = channel_u8.astype(jnp.int32).reshape(-1)
-    bins = jnp.arange(256, dtype=jnp.int32)
-    hist = jnp.sum((vals[:, None] == bins[None, :]).astype(jnp.float32),
-                   axis=0)
+    hi, lo = _radix_onehots(vals)
+    m = jax.lax.dot_general(hi, lo, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    hist = m.reshape(256)
     cdf = jnp.cumsum(hist / n)
     return jnp.round(255.0 * cdf)
 
 
 def _apply_lut(channel_u8: jnp.ndarray, lut: jnp.ndarray) -> jnp.ndarray:
-    """mapped = lut[channel] without a gather: a per-pixel 256-entry gather
-    costs 13.5 ms device-side at canvas scale vs 1.2 ms for the equivalent
-    one-hot compare+reduce (the one-hot row is exact, so the f32 dot with
-    the LUT reproduces the gather bit-for-bit). TPU gathers serialize; the
-    compare form stays on the VPU as one fused loop."""
+    """mapped = lut[channel] without a gather: per-pixel 256-entry gathers
+    serialize on TPU (13.5 ms at canvas scale). Radix-16 factored form:
+    mapped = sum_{h,l} hi[p,h] * lo[p,l] * lut[h*16+l] — an MXU contraction
+    of the high nibble with the [16, 16] LUT, then a 16-wide VPU dot with
+    the low-nibble one-hot. LUT entries are integers in [0, 255], exact in
+    bf16/f32, so this is bit-identical to the 256-wide one-hot (and to the
+    gather)."""
     idx = jnp.clip(channel_u8, 0, 255).astype(jnp.int32)
-    bins = jnp.arange(256, dtype=jnp.int32)
-    return ((idx[..., None] == bins) * lut).sum(-1)
+    hi, lo = _radix_onehots(idx)
+    lut2 = lut.reshape(16, 16).astype(jnp.float32)
+    ndim = hi.ndim
+    tmp = jax.lax.dot_general(
+        hi, lut2, (((ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    return jnp.sum(tmp * lo, axis=-1)
 
 
 @partial(jax.jit, static_argnames=("compat_luma",))
