@@ -45,8 +45,14 @@ def _blur_hwc(img: jnp.ndarray, sigma: float,
         return jnp.moveaxis(vanvliet_blur(moved, sigma), 0, -1)
     if img.ndim == 2:
         return gaussian_blur(img, sigma)
-    moved = jnp.moveaxis(img, -1, 0)
-    return jnp.moveaxis(gaussian_blur(moved, sigma), 0, -1)
+    # blur [H, W, C] in place along axes (1, 0) — W then H, the same op
+    # order as gaussian_blur — without the moveaxis round trip (each
+    # moveaxis of the minor channel dim is a full canvas relayout; the
+    # level-0 blend blur measured 2.78 ms of which the relayouts were
+    # most, see RESULTS round-2f)
+    from ..ops.gaussian import _conv1d_axis, gauss_taps
+    taps = jnp.asarray(gauss_taps(sigma)).astype(img.dtype)
+    return _conv1d_axis(_conv1d_axis(img, taps, 1), taps, 0)
 
 
 def n_levels(h: int, w: int, mode: str = "max") -> int:

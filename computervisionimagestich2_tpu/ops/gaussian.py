@@ -44,15 +44,26 @@ def _conv1d_lastdim(x: jnp.ndarray, taps: jnp.ndarray) -> jnp.ndarray:
     lowers to catastrophically slow code on TPU (measured ~200x slower at
     panorama-canvas widths), and K is small (9..39).
     """
+    return _conv1d_axis(x, taps, -1)
+
+
+def _conv1d_axis(x: jnp.ndarray, taps: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Correlate along ``axis`` with edge-replicate padding — the same
+    shift-and-add, sliced along the requested axis. The H pass runs as
+    sublane-shifted slices directly: the previous swapaxes(-1, -2) round
+    trip was two full relayouts of the canvas per blur (2.78 ms for the
+    level-0 blend blur at 1160x1458x7 — most of the blend's cost)."""
     taps = taps.astype(x.dtype)  # keep reduced-precision inputs reduced
     k = taps.shape[0]
     r = (k - 1) // 2
-    length = x.shape[-1]
-    pad_cfg = [(0, 0)] * (x.ndim - 1) + [(r, r)]
+    axis = axis % x.ndim
+    length = x.shape[axis]
+    pad_cfg = [(0, 0)] * x.ndim
+    pad_cfg[axis] = (r, r)
     xp = jnp.pad(x, pad_cfg, mode="edge")
     out = None
     for j in range(k):
-        term = taps[j] * jax.lax.slice_in_dim(xp, j, j + length, axis=-1)
+        term = taps[j] * jax.lax.slice_in_dim(xp, j, j + length, axis=axis)
         out = term if out is None else out + term
     return out
 
@@ -67,10 +78,8 @@ def gaussian_blur(img: jnp.ndarray, sigma: float) -> jnp.ndarray:
     vl/sift.c:125).
     """
     taps = jnp.asarray(gauss_taps(sigma))
-    out = _conv1d_lastdim(img, taps)                 # along W (x)
-    out = jnp.swapaxes(out, -1, -2)
-    out = _conv1d_lastdim(out, taps)                 # along H (y)
-    return jnp.swapaxes(out, -1, -2)
+    out = _conv1d_axis(img, taps, -1)                # along W (x), lane shifts
+    return _conv1d_axis(out, taps, -2)               # along H (y), sublane shifts
 
 
 # ------------------------------------------------------- Van Vliet (CImg)

@@ -36,7 +36,7 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.blender import blend_stacked, half_plane_mask, n_levels
-from ..ops.gaussian import _conv1d_lastdim, gauss_taps
+from ..ops.gaussian import _conv1d_axis, gauss_taps
 from ..ops.resize import _banded_weights, _resize_axis1, _resize_weights
 
 
@@ -75,7 +75,7 @@ def _halo_blur(x, taps, axis_name: str):
     (W then H, continuity padding) so values are bit-comparable."""
     taps = taps.astype(x.dtype)  # keep reduced-precision stripes reduced
     r = (taps.shape[0] - 1) // 2
-    xw = jnp.moveaxis(_conv1d_lastdim(jnp.moveaxis(x, 1, -1), taps), -1, 1)
+    xw = _conv1d_axis(x, taps, 1)
     above = _halo_above(xw, r, axis_name, zero_edge=False)
     below = _halo_below(xw, r, axis_name, zero_edge=False)
     ext = jnp.concatenate([above, xw, below], axis=0)

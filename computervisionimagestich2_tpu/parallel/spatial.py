@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.gaussian import gauss_taps, _conv1d_lastdim
+from ..ops.gaussian import gauss_taps, _conv1d_axis, _conv1d_lastdim
 
 
 def _halo_blur_local(block: jnp.ndarray, taps: jnp.ndarray, axis_name: str):
@@ -44,7 +44,7 @@ def _halo_blur_local(block: jnp.ndarray, taps: jnp.ndarray, axis_name: str):
     below = jnp.where(idx == n - 1, edge_bot, from_below)
 
     ext = jnp.concatenate([above, out, below], axis=0)      # [H_local+2r, W]
-    col = _conv1d_lastdim(ext.T, taps).T                     # blur along H
+    col = _conv1d_axis(ext, taps, 0)                         # blur along H
     return col[r:-r]
 
 
