@@ -214,6 +214,28 @@ def test_equalize_color_matches_oracle(rng):
     assert (np.abs(got - expect) > 1).mean() < 0.01
 
 
+def test_equalize_radix_factorization_exact(rng):
+    """The radix-16 one-hot histogram/LUT forms must be bit-identical to
+    the plain 256-wide forms (counts and LUT entries are small integers,
+    exact at any matmul precision)."""
+    import jax.numpy as jnp
+
+    from computervisionimagestich2_tpu.models.equalization import (
+        _apply_lut, _equalize_lut)
+
+    ch = rng.integers(0, 256, (37, 53)).astype(np.float32)
+    n = ch.size
+    hist = np.bincount(ch.reshape(-1).astype(int), minlength=256)
+    cdf = np.cumsum((hist / n).astype(np.float32), dtype=np.float32)
+    want_lut = np.asarray(jnp.round(255.0 * jnp.asarray(cdf)))
+    got_lut = np.asarray(_equalize_lut(jnp.asarray(ch)))
+    np.testing.assert_array_equal(got_lut, want_lut)
+
+    lut = rng.integers(0, 256, 256).astype(np.float32)
+    got = np.asarray(_apply_lut(jnp.asarray(ch), jnp.asarray(lut)))
+    np.testing.assert_array_equal(got, lut[ch.astype(int)])
+
+
 def test_equalize_and_mix_increases_contrast_low_contrast_image(rng):
     img = rng.integers(100, 140, (32, 32, 3)).astype(np.float32)
     out = np.asarray(equalize_and_mix(img, True, 0.5))
