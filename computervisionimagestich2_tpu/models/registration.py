@@ -171,20 +171,35 @@ def all_pairs_match_counts(desc: jnp.ndarray, valid: jnp.ndarray,
     (ImageProcess.cpp:125-135). Cost parity too: for failing pairs the
     reference also computes both directions.
     """
-    from ..ops.distance import ratio_match_bidir
+    from ..ops.distance import _pallas_2nn_enabled, ratio_match_bidir
 
     n = desc.shape[0]
     if n <= 1:
         # no pairs; a (0, 2)-shaped scan would slice 0-d elements
         return jnp.zeros((n, n), jnp.int32)
-    # scan over the UNORDERED i<j pair list with gathered operands: the
-    # matcher body (a Pallas kernel on TPU) compiles ONCE and runs P times
-    # — a vmap here would need the Pallas batching rule, and an unrolled
-    # loop would compile P copies. The bidirectional matcher returns both
-    # ordered counts of a pair from one distance evaluation, so the
-    # triangle costs what the reference pays for its one-directional pass.
     pairs = jnp.asarray([(i, j) for i in range(n) for j in range(n)
                          if i < j], jnp.int32)
+    cap = desc.shape[1]
+    if (cfg.match.distance == "l1" and _pallas_2nn_enabled(cfg.match.pallas)
+            and cap % 128 == 0 and desc.shape[2] == 128 and cap <= 8192):
+        # ONE dispatch for the whole i<j triangle: the Pallas grid iterates
+        # (pair, query-tile) with the pair list in scalar prefetch, so the
+        # per-pair descriptor gathers and kernel ramp-ups of the scan path
+        # disappear (cap bound keeps the resident reference block +
+        # double-buffering within VMEM)
+        from ..ops.pallas_distance import pair_match_counts_pallas
+
+        counts = pair_match_counts_pallas(desc, valid, pairs,
+                                          cfg.match.ratio_threshold)
+        out = jnp.zeros((n, n), jnp.int32)
+        out = out.at[pairs[:, 0], pairs[:, 1]].set(counts[:, 0])
+        return out.at[pairs[:, 1], pairs[:, 0]].set(counts[:, 1])
+    # fallback: scan over the UNORDERED i<j pair list with gathered
+    # operands — the matcher body compiles ONCE and runs P times (a vmap
+    # here would need the Pallas batching rule, and an unrolled loop would
+    # compile P copies). The bidirectional matcher returns both ordered
+    # counts of a pair from one distance evaluation, so the triangle costs
+    # what the reference pays for its one-directional pass.
 
     def body(carry, pair):
         i, j = pair[0], pair[1]

@@ -101,6 +101,29 @@ def _composite_and_blend(proj_dst, result, bwd, min_x, min_y,
     return trunc_u8(blended[:out_hw[0], :out_hw[1]])
 
 
+def bfs_edge_seq(adj: list[list[bool]], start: int) -> list[tuple[int, int, int]]:
+    """BFS stitch order from ``start`` (ImageProcess.cpp:149-236): returns
+    (src, dst, pre) edge triples, where pre is the previously stitched
+    image whose features get the offset-only update (cpp:226-227).
+    Consumes ``adj`` (edges are cleared as visited) — pass a copy to keep it.
+    """
+    n = len(adj)
+    neighbors = [[j for j in range(n) if adj[i][j]] for i in range(n)]
+    edge_seq = []
+    pre = start
+    queue = deque([start])
+    while queue:
+        src_i = queue.popleft()
+        for dst_i in reversed(neighbors[src_i]):
+            if not adj[src_i][dst_i]:
+                continue
+            adj[src_i][dst_i] = adj[dst_i][src_i] = False
+            queue.append(dst_i)
+            edge_seq.append((src_i, dst_i, pre))
+            pre = dst_i
+    return edge_seq
+
+
 def directed_adjacency(counts, threshold: int) -> list[list[bool]]:
     """The reference's sequential stichingMat fill (ImageProcess.cpp:117-137).
 
@@ -425,19 +448,7 @@ class Stitcher:
 
         # BFS stitch loop (ImageProcess.cpp:149-236)
         with self._timer.stage("stitching"), obs.trace("stitching"):
-            neighbors = [[j for j in range(n) if adj[i][j]] for i in range(n)]
-            edge_seq = []
-            pre = start
-            queue = deque([start])
-            while queue:
-                src_i = queue.popleft()
-                for dst_i in reversed(neighbors[src_i]):
-                    if not adj[src_i][dst_i]:
-                        continue
-                    adj[src_i][dst_i] = adj[dst_i][src_i] = False
-                    queue.append(dst_i)
-                    edge_seq.append((src_i, dst_i, pre))
-                    pre = dst_i
+            edge_seq = bfs_edge_seq(adj, start)
 
             result = projected[start]
             if (cfg.planned and edge_seq

@@ -32,8 +32,24 @@ from jax.experimental.pallas import tpu as pltpu
 BIG = 3.0e38  # python float: jnp scalars would be captured consts in the kernel
 
 
-def _kernel(counts_ref, qry_ref, ref_ref, ref_valid_ref, d1_ref, d2_ref,
-            i1_ref, *, ta: int, kc: int):
+def _l1_tile(q, rc, qs, rs):
+    """L1 distance tile via the min identity:
+
+        sum_f |q_f - r_f| = sum_f q_f + sum_f r_f - 2 * sum_f min(q_f, r_f)
+
+    (an identity for all reals: min(a,b) = (a+b-|a-b|)/2). Two VPU ops
+    per (b, a, f) element (min + reduce-add) instead of three (sub, abs,
+    reduce-add) — the
+    matcher is VPU-bound, so this is a ~1.4x kernel-wide win. qs/rs are
+    the precomputed per-row feature sums. Equal descriptors may come out
+    as a tiny negative instead of 0.0 (independent reduction orders);
+    clamp — distances are compared, never rooted."""
+    cmin = jnp.sum(jnp.minimum(q[:, None, :], rc[None, :, :]), axis=-1)
+    return jnp.maximum(qs[:, None] + rs[None, :] - 2.0 * cmin, 0.0)
+
+
+def _kernel(counts_ref, qry_ref, ref_ref, ref_valid_ref, qsum_ref, rsum_ref,
+            d1_ref, d2_ref, i1_ref, *, ta: int, kc: int):
     tb = qry_ref.shape[0]
     i = pl.program_id(0)
     nq = counts_ref[0]
@@ -48,15 +64,16 @@ def _kernel(counts_ref, qry_ref, ref_ref, ref_valid_ref, d1_ref, d2_ref,
     @pl.when(i * tb < nq)
     def _():
         q = qry_ref[:]                                    # [TB, F]
+        qs = qsum_ref[0, :]                               # [TB]
 
         def ref_tile(j, carry):
             d1, d2, i1 = carry
             row = pl.multiple_of(j * ta, ta)
             vmask = ref_valid_ref[0, pl.ds(row, ta)]      # [TA]
             rc = ref_ref[pl.ds(row, ta), :]               # [TA, F]
-            # full-feature broadcast diff: [TB, TA, F] lives in VMEM; tiles
+            # full-feature broadcast min: [TB, TA, F] lives in VMEM; tiles
             # are sized so it stays ~8 MB
-            dist = jnp.sum(jnp.abs(q[:, None, :] - rc[None, :, :]), axis=-1)
+            dist = _l1_tile(q, rc, qs, rsum_ref[0, pl.ds(row, ta)])
             dist = jnp.where(vmask[None, :] != 0, dist, BIG)
 
             # per-row top-2 of this tile
@@ -82,7 +99,8 @@ def _kernel(counts_ref, qry_ref, ref_ref, ref_valid_ref, d1_ref, d2_ref,
         i1_ref[0, :] = i1
 
 
-def _bidir_kernel(counts_ref, qry_ref, ref_ref, ref_valid_ref,
+def _bidir_kernel(counts_ref, qry_ref, ref_ref, ref_valid_ref, qsum_ref,
+                  rsum_ref,
                   d1q_ref, d2q_ref, i1q_ref, d1r_ref, d2r_ref, i1r_ref,
                   cd1, cd2, ci1, *, ta: int, n_steps: int):
     """Bidirectional variant: one pass over the distance tiles feeds BOTH
@@ -110,6 +128,7 @@ def _bidir_kernel(counts_ref, qry_ref, ref_ref, ref_valid_ref,
     @pl.when(i * tb < nq)
     def _():
         q = qry_ref[:]                                    # [TB, F]
+        qs = qsum_ref[0, :]                               # [TB]
         rows = jax.lax.broadcasted_iota(jnp.int32, (tb, ta), 0)
         qmask = (i * tb + rows) < nq                      # live query rows
 
@@ -118,7 +137,7 @@ def _bidir_kernel(counts_ref, qry_ref, ref_ref, ref_valid_ref,
             row = pl.multiple_of(j * ta, ta)
             vmask = ref_valid_ref[0, pl.ds(row, ta)]      # [TA]
             rc = ref_ref[pl.ds(row, ta), :]               # [TA, F]
-            dist = jnp.sum(jnp.abs(q[:, None, :] - rc[None, :, :]), axis=-1)
+            dist = _l1_tile(q, rc, qs, rsum_ref[0, pl.ds(row, ta)])
             dist = jnp.where(vmask[None, :] != 0, dist, BIG)
 
             # row direction (queries): per-row top-2 of this tile
@@ -199,6 +218,10 @@ def two_nearest_l1_bidir_pallas(qry: jnp.ndarray, ref: jnp.ndarray,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, na), lambda i, c: (0, 0),
                              memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tb), lambda i, c: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, na), lambda i, c: (0, 0),
+                             memory_space=pltpu.VMEM),
             ],
             out_specs=[
                 pl.BlockSpec((1, tb), lambda i, c: (0, i),
@@ -229,7 +252,8 @@ def two_nearest_l1_bidir_pallas(qry: jnp.ndarray, ref: jnp.ndarray,
             jax.ShapeDtypeStruct((1, na), jnp.int32),
         ],
         interpret=interpret,
-    )(counts, qry, ref, ref_valid.astype(jnp.int32)[None, :])
+    )(counts, qry, ref, ref_valid.astype(jnp.int32)[None, :],
+      jnp.sum(qry, axis=1)[None, :], jnp.sum(ref, axis=1)[None, :])
     d1q, d2q, i1q = d1q[0], d2q[0], i1q[0]
     d1r, d2r, i1r = d1r[0], d2r[0], i1r[0]
 
@@ -268,6 +292,10 @@ def two_nearest_l1_pallas(qry: jnp.ndarray, ref: jnp.ndarray,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, na), lambda i, c: (0, 0),
                              memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tb), lambda i, c: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, na), lambda i, c: (0, 0),
+                             memory_space=pltpu.VMEM),
             ],
             out_specs=[
                 pl.BlockSpec((1, tb), lambda i, c: (0, i),
@@ -284,9 +312,151 @@ def two_nearest_l1_pallas(qry: jnp.ndarray, ref: jnp.ndarray,
             jax.ShapeDtypeStruct((1, nb), jnp.int32),
         ],
         interpret=interpret,
-    )(counts, qry, ref, ref_valid.astype(jnp.int32)[None, :])
+    )(counts, qry, ref, ref_valid.astype(jnp.int32)[None, :],
+      jnp.sum(qry, axis=1)[None, :], jnp.sum(ref, axis=1)[None, :])
     d1, d2, i1 = d1[0], d2[0], i1[0]
 
     d1 = jnp.where(qry_valid, d1, BIG)
     d2 = jnp.where(qry_valid, d2, BIG)
     return d1, d2, i1
+
+
+def _pair_counts_kernel(pairs_ref, nlive_ref, qry_blk, ref_blk, qsum_blk,
+                        rsum_blk, out_ref, cd1, cd2, acc, *,
+                        ta: int, n_qt: int, ratio: float):
+    """Grid (pair, query-tile). Per pair (i, j): forward count = j's live
+    descriptors whose 2-NN ratio over i's set passes; reverse count from
+    the same distance tiles via a per-reference running top-2 in VMEM
+    scratch (grid steps run sequentially, query-tile minor)."""
+    p = pl.program_id(0)
+    t = pl.program_id(1)
+    tb = qry_blk.shape[1]
+    nq = nlive_ref[pairs_ref[p, 1]]
+    nr = nlive_ref[pairs_ref[p, 0]]
+
+    @pl.when(t == 0)
+    def _():
+        acc[0] = jnp.int32(0)
+        cd1[...] = jnp.full_like(cd1, BIG)
+        cd2[...] = jnp.full_like(cd2, BIG)
+
+    @pl.when(t * tb < nq)
+    def _():
+        q = qry_blk[0]                                    # [TB, F]
+        qs = qsum_blk[0, 0, :]                            # [TB]
+        rows = jax.lax.broadcasted_iota(jnp.int32, (tb, ta), 0)
+        qmask = (t * tb + rows) < nq                      # live query rows
+
+        def ref_tile(j, carry):
+            d1, d2 = carry
+            row = pl.multiple_of(j * ta, ta)
+            ridx = jax.lax.broadcasted_iota(jnp.int32, (tb, ta), 1) + row
+            rc = ref_blk[0, pl.ds(row, ta), :]            # [TA, F]
+            dist = _l1_tile(q, rc, qs, rsum_blk[0, 0, pl.ds(row, ta)])
+            dist = jnp.where(ridx < nr, dist, BIG)
+
+            # row direction (queries j->i): per-row top-2 of this tile
+            cols = jax.lax.broadcasted_iota(jnp.int32, (tb, ta), 1)
+            t1 = jnp.min(dist, axis=1)
+            a1 = jnp.argmin(dist, axis=1)
+            t2 = jnp.min(jnp.where(cols == a1[:, None], BIG, dist), axis=1)
+            new_d1 = jnp.minimum(d1, t1)
+            new_d2 = jnp.minimum(jnp.maximum(d1, t1), jnp.minimum(d2, t2))
+
+            # column direction (i->j): mask dead query rows, merge into
+            # the running per-reference top-2 scratch
+            distc = jnp.where(qmask, dist, BIG)
+            c1 = jnp.min(distc, axis=0)                   # [TA]
+            ca = jnp.argmin(distc, axis=0)
+            c2 = jnp.min(jnp.where(rows == ca[None, :], BIG, distc), axis=0)
+            od1 = cd1[0, pl.ds(row, ta)]
+            od2 = cd2[0, pl.ds(row, ta)]
+            cd1[0, pl.ds(row, ta)] = jnp.minimum(od1, c1)
+            cd2[0, pl.ds(row, ta)] = jnp.minimum(jnp.maximum(od1, c1),
+                                                 jnp.minimum(od2, c2))
+            return new_d1, new_d2
+
+        init = (jnp.full((tb,), BIG), jnp.full((tb,), BIG))
+        n_live_ref_tiles = (nr + ta - 1) // ta
+        d1, d2 = jax.lax.fori_loop(0, n_live_ref_tiles, ref_tile, init)
+        okq = ((d1 / d2) < ratio) & (d2 < BIG) \
+            & ((t * tb + jax.lax.broadcasted_iota(jnp.int32, (tb,), 0)) < nq)
+        acc[0] += jnp.sum(okq.astype(jnp.int32))
+
+    @pl.when(t == n_qt - 1)
+    def _():
+        na = cd1.shape[1]
+        ridx = jax.lax.broadcasted_iota(jnp.int32, (1, na), 1)
+        okr = ((cd1[...] / cd2[...]) < ratio) & (cd2[...] < BIG) \
+            & (ridx < nr)
+        cntr = jnp.sum(okr.astype(jnp.int32))
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (1, out_ref.shape[2]), 1)
+        out_ref[0] = jnp.where(
+            lanes == 0, acc[0], jnp.where(lanes == 1, cntr, 0))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("ratio", "tb", "ta", "interpret"))
+def pair_match_counts_pallas(desc3: jnp.ndarray, valid2: jnp.ndarray,
+                             pairs: jnp.ndarray, ratio: float = 0.5,
+                             tb: int = 128, ta: int = 128,
+                             interpret: bool = False) -> jnp.ndarray:
+    """Bidirectional ratio-match COUNTS for P image pairs in ONE dispatch.
+
+    The ordering stage (all_pairs_match_counts, ImageProcess.cpp:117-137)
+    needs only the match counts of every unordered pair; scanning P
+    separate matcher dispatches leaves the per-pair descriptor gathers and
+    kernel ramp-up serialized. Here the Pallas grid iterates
+    (pair, query-tile) and the BlockSpec index maps read the pair list
+    from scalar prefetch, so image j's query tiles and image i's reference
+    block stream straight from the stacked [N, CAP, 128] array — no
+    gather, no per-pair dispatch.
+
+    desc3 [N, CAP, 128] f32, valid2 [N, CAP] bool (prefix-compacted),
+    pairs [P, 2] int32 rows (i, j). Returns [P, 2] int32:
+    [:, 0] = count with queries = j vs refs = i (the reference's
+    getImgPair(i, j) size), [:, 1] = the reverse direction.
+    """
+    n, cap, n_feat = desc3.shape
+    n_pairs = pairs.shape[0]
+    assert cap % tb == 0 and cap % ta == 0
+    nlive = jnp.sum(valid2.astype(jnp.int32), axis=1)
+    # [N, 1, CAP]: the singleton keeps Mosaic's block-shape rule satisfied
+    # (last two dims of every block must divide (8, 128) or equal the
+    # array's) while the leading dim carries the pair-indexed image choice
+    sums = jnp.sum(desc3, axis=2)[:, None, :]
+    n_qt = cap // tb
+    kern = functools.partial(_pair_counts_kernel, ta=ta, n_qt=n_qt,
+                             ratio=ratio)
+    out = pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n_pairs, n_qt),
+            in_specs=[
+                pl.BlockSpec((1, tb, n_feat),
+                             lambda p, t, prs, nl: (prs[p, 1], t, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, cap, n_feat),
+                             lambda p, t, prs, nl: (prs[p, 0], 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, tb),
+                             lambda p, t, prs, nl: (prs[p, 1], 0, t),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, cap),
+                             lambda p, t, prs, nl: (prs[p, 0], 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 1, 128),
+                                   lambda p, t, prs, nl: (p, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((1, cap), jnp.float32),
+                pltpu.VMEM((1, cap), jnp.float32),
+                pltpu.SMEM((1,), jnp.int32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_pairs, 1, 128), jnp.int32),
+        interpret=interpret,
+    )(pairs, nlive, desc3, desc3, sums, sums)
+    return out[:, 0, :2]

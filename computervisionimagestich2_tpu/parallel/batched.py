@@ -106,3 +106,107 @@ def shard_batch(mesh: Mesh, *arrays):
     """Place arrays with the batch axis sharded over the data axis."""
     sharding = NamedSharding(mesh, P("data"))
     return tuple(jax.device_put(a, sharding) for a in arrays)
+
+
+# --------------------------------------------------- batched full panoramas
+def _nopallas(cfg: StitchConfig) -> StitchConfig:
+    """Config with every Pallas backend pinned off — vmapped/sharded batch
+    programs need the XLA formulations (the walk/matcher kernels don't
+    vmap) and may target non-default devices (virtual CPU meshes)."""
+    import dataclasses
+
+    return dataclasses.replace(
+        cfg, sift=dataclasses.replace(cfg.sift, pallas="off"),
+        match=dataclasses.replace(cfg.match, pallas="off"))
+
+
+@partial(jax.jit, static_argnames=("cfg", "canvas_hw", "edge_seq"))
+def _stitch_one_fixed(images: jnp.ndarray, cfg: StitchConfig,
+                      canvas_hw: tuple[int, int],
+                      edge_seq: tuple[tuple[int, int, int], ...]):
+    """One whole chain-ordered panorama on a FIXED canvas — every shape
+    static, so the function vmaps over a batch of panoramas.
+
+    The growing exact canvas of the incremental path is data-dependent;
+    here each edge composites and blends on the full ``canvas_hw`` bucket
+    (the same semantics as the Stitcher's exact_canvas=False mode, with one
+    global bucket instead of per-edge buckets) and the content extent rides
+    as data: the plan's per-edge (min_x, min_y, new_w, new_h) scalars feed
+    the warp offsets and the blend's content-row extent. Enhancement is the
+    caller's step (it needs the cropped content, Stitcher.stitch tail).
+
+    Returns (canvas [Hc, Wc, 3] u8-valued f32, plan [E, 23]).
+    """
+    from ..models.blender import blend_edge
+    from ..models.registration import plan_edges
+    from ..ops.warp import shift_image, trunc_u8, warp_image
+
+    feats, proj, _stats = _project_and_extract_vmapped(images, cfg)
+    img_hw = (int(proj.shape[1]), int(proj.shape[2]))
+    edges = jnp.asarray(edge_seq, jnp.int32)
+    plan = plan_edges(feats, edges, img_hw, img_hw, cfg)
+
+    n_coef = 9 if cfg.warp_model == "projective" else 8
+    start = edge_seq[0][0]
+    hc, wc = canvas_hw
+    result = jnp.zeros((hc, wc, 3), jnp.float32)
+    result = result.at[:img_hw[0], :img_hw[1], :].set(proj[start])
+    for e, (_src_i, dst_i, _pre_i) in enumerate(edge_seq):
+        bwd = plan[e, 9:9 + n_coef]
+        min_x, min_y = plan[e, 18], plan[e, 19]
+        new_h = plan[e, 21].astype(jnp.int32)
+        a = warp_image(proj[dst_i], bwd, min_x, min_y,
+                       out_shape=canvas_hw, model=cfg.warp_model)
+        b = shift_image(result, min_x.astype(jnp.int32),
+                        min_y.astype(jnp.int32), out_shape=canvas_hw)
+        if cfg.blend.gain_compensation:
+            from ..models.gain import gain_compensate
+
+            a = gain_compensate(a, b, cfg.blend.gain_mode)
+        result = trunc_u8(blend_edge(a, b, cfg.blend, new_h))
+    return result, plan
+
+
+def batched_stitch_chain(images: jnp.ndarray,
+                         cfg: StitchConfig = DEFAULT_CONFIG,
+                         canvas_hw: tuple[int, int] | None = None):
+    """Stitch a BATCH of panoramas in one vmapped program — BASELINE.json
+    config 3 as written ("Input/ and Input2/ sets stitched in one vmapped
+    batch"), not just batched registration.
+
+    images: [B, K, H, W, 3] (u8 or float) — B panoramas of K pre-ordered
+    images each (ex6 chain ordering, src/ex6/ImageProcess.cpp:150-159).
+    Mixed-resolution sets batch by zero-padding to a common [H, W] first
+    (padding adds border keypoints but panorama content is unaffected —
+    content registers against content).
+
+    canvas_hw: the static shared canvas (default: generous chain bound,
+    rounded to canvas_bucket). Content extents are returned per panorama in
+    the plan; if an extent exceeds the canvas a warning is logged (rerun
+    with a larger canvas_hw).
+
+    Returns (canvases [B, Hc, Wc, 3] u8-valued f32, plans [B, E, 23]);
+    plans[:, -1, 20:22] are the final (w, h) content extents. Shard the
+    batch axis over a mesh's ``data`` axis with shard_batch for multi-chip.
+    """
+    from ..models.stitcher import bfs_edge_seq
+    from ..utils import obs
+
+    b, k = int(images.shape[0]), int(images.shape[1])
+    h, w = int(images.shape[2]), int(images.shape[3])
+    cfgx = _nopallas(cfg)
+    adj = [[abs(i - j) == 1 for j in range(k)] for i in range(k)]
+    edge_seq = tuple(bfs_edge_seq(adj, k // 2))
+    if canvas_hw is None:
+        bucket = max(cfg.canvas_bucket, 128)
+        rnd = lambda v: -(-v // bucket) * bucket
+        canvas_hw = (rnd(int(1.6 * h)), rnd(int(0.85 * k * w)))
+
+    out, plans = jax.vmap(
+        lambda im: _stitch_one_fixed(im, cfgx, canvas_hw, edge_seq))(images)
+    final_w = jnp.max(plans[:, -1, 20])
+    final_h = jnp.max(plans[:, -1, 21])
+    if bool(final_w > canvas_hw[1]) or bool(final_h > canvas_hw[0]):
+        obs.warn("batched_canvas_overflow",
+                 needed=(int(final_h), int(final_w)), canvas=canvas_hw)
+    return out, plans

@@ -110,3 +110,27 @@ def test_xla_bidir_matches_two_directed_calls(rng):
             clear = live & (d2w > d1w * (1 + 1e-4))  # not an ulp-tie
             np.testing.assert_array_equal(np.asarray(got[2])[clear],
                                           np.asarray(want[2])[clear])
+
+
+def test_pair_match_counts_matches_scan_path(rng):
+    """The one-dispatch (pair, query-tile) count kernel must reproduce the
+    per-pair ratio_match_bidir counts over the whole i<j triangle."""
+    from computervisionimagestich2_tpu.ops.pallas_distance import (
+        pair_match_counts_pallas)
+
+    n, cap, f = 4, 256, 128
+    desc = rng.random(size=(n, cap, f)).astype(np.float32)
+    # clustered descriptors so some ratio tests actually pass
+    desc[1, :50] = desc[0, 10:60] + rng.normal(size=(50, f)) * 1e-3
+    desc[3, :40] = desc[2, 5:45] + rng.normal(size=(40, f)) * 1e-3
+    lives = [200, 130, 256, 77]
+    valid = np.stack([np.arange(cap) < nv for nv in lives])
+    pairs = np.asarray([(i, j) for i in range(n) for j in range(n)
+                        if i < j], np.int32)
+    got = np.asarray(pair_match_counts_pallas(
+        desc, valid, pairs, 0.5, interpret=INTERPRET))
+    for p, (i, j) in enumerate(pairs):
+        okq, _, okr, _ = distance.ratio_match_bidir(
+            desc[j], desc[i], valid[j], valid[i], 0.5, "l1", pallas="off")
+        assert got[p, 0] == np.asarray(okq).sum(), (i, j)
+        assert got[p, 1] == np.asarray(okr).sum(), (i, j)
