@@ -253,10 +253,15 @@ def refine_keypoints(dog: jnp.ndarray, coords: jnp.ndarray, valid: jnp.ndarray,
 
     x, y = jax.lax.fori_loop(0, 5, chase, (x, y))
     flat = base + y * ww + x
-    ok = okf.reshape(-1)[flat] & valid
+    # ONE row gather for the whole acceptance record instead of four point
+    # gathers (ok, x, y, sigma): point gathers cost ~9 ns/ELEMENT on TPU,
+    # so fetching the packed [., 4] row quarters the tail's gather count
+    vals = jnp.stack([okf.astype(jnp.float32), xf, yf, sigmaf],
+                     axis=-1).reshape(-1, 4)
+    row = vals[flat]
+    ok = (row[:, 0] > 0) & valid
     lvl = (s_dog + s_min).astype(jnp.int32)
-    return ok, xf.reshape(-1)[flat], yf.reshape(-1)[flat], \
-        sigmaf.reshape(-1)[flat], lvl
+    return ok, row[:, 1], row[:, 2], row[:, 3], lvl
 
 
 # ------------------------------------------------------------------ gradient
