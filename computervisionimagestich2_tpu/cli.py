@@ -40,7 +40,7 @@ def build_config(args):
         cfg = dataclasses.replace(
             cfg, blend=dataclasses.replace(cfg.blend,
                                            gain_mode=args.gain_mode))
-    if args.blend_dtype != "f32":
+    if args.blend_dtype != "auto":
         cfg = dataclasses.replace(
             cfg, blend=dataclasses.replace(cfg.blend, dtype=args.blend_dtype))
     if args.seam_band:
@@ -77,10 +77,12 @@ def make_parser() -> argparse.ArgumentParser:
                    help="gain-compensation statistic: one scalar luma gain "
                         "or per-channel gains (also removes tint steps; "
                         "recommended with --seam-band)")
-    p.add_argument("--blend-dtype", choices=["f32", "bf16"], default="f32",
-                   help="bf16 = reduced-precision pyramid blend (~2x less "
-                        "HBM traffic; a few u8 levels of rounding in smooth "
-                        "gradients). f32 = parity default")
+    p.add_argument("--blend-dtype", choices=["auto", "f32", "bf16"],
+                   default="auto",
+                   help="auto (default) = bf16 pyramid blend on canvases "
+                        "over ~1.5 Mpx (measured ~2.2x there), f32 below; "
+                        "f32 = parity mode; bf16 = force reduced precision "
+                        "(a few u8 levels of rounding in smooth gradients)")
     p.add_argument("--seam-band", type=int, default=0, metavar="PX",
                    help="pyramid-blend only a 4*PX-wide window at each "
                         "seam, copying the rest (O(H x band) per edge "
@@ -102,6 +104,11 @@ def make_parser() -> argparse.ArgumentParser:
                         "(default: O(log) compiles for long chains; "
                         "output equal outside a thin seam band)")
     p.set_defaults(exact_canvas=False)
+    p.add_argument("--sp", type=int, default=0, metavar="N",
+                   help="shard canvas composites/blends row-wise over N "
+                        "devices (jax.sharding Mesh + ppermute halo "
+                        "exchange over ICI); 0 = single device. Requires "
+                        "N visible devices and --bucketed-canvas")
     p.add_argument("--artifacts", default=None,
                    help="directory to dump per-stage npz artifacts")
     p.add_argument("--resume", action="store_true",
@@ -155,8 +162,22 @@ def main(argv=None):
 
         obs.set_verbose(True)
 
+    mesh = None
+    if args.sp:
+        import jax
+
+        from .parallel.mesh import make_mesh
+
+        if args.exact_canvas:
+            p.error("--sp requires --bucketed-canvas (sharded stripes need "
+                    "bucketed canvas rows)")
+        if len(jax.devices()) < args.sp:
+            p.error(f"--sp {args.sp} needs {args.sp} devices, have "
+                    f"{len(jax.devices())}")
+        mesh = make_mesh(args.sp, sp=args.sp)
+
     t0 = time.perf_counter()
-    stitcher = Stitcher(cfg, artifact_dir=args.artifacts)
+    stitcher = Stitcher(cfg, artifact_dir=args.artifacts, mesh=mesh)
     out = stitcher.stitch(images, resume=args.resume)
     elapsed = time.perf_counter() - t0
 

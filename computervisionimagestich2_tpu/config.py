@@ -130,11 +130,16 @@ class BlendConfig:
     # "luma" = one scalar gain; "rgb" = one gain per channel (also removes
     # tint steps — recommended with seam_band, models/gain.py).
     gain_mode: str = "luma"
-    # "f32" (parity default) | "bf16": run the pyramid chain in bfloat16 —
-    # the blend is HBM-bandwidth-bound at panorama canvas sizes, so halving
-    # the bytes roughly halves the time, at a few u8 levels of rounding in
-    # smooth gradients (models/blender.py::blend_stacked). FIR blur only.
-    dtype: str = "f32"
+    # "f32" | "bf16" | "auto" (default): bfloat16 halves the pyramid
+    # chain's bytes and vector-op count — measured 1.65 vs 3.6-4.1 ms on a
+    # 1080p-scale canvas across two TPU sessions (RESULTS round-2f/3) but a
+    # wash-to-loss on small canvases where convert/relayout overhead
+    # dominates. "auto" resolves per blend canvas at trace time: bf16 when
+    # the canvas area exceeds ``bf16_auto_area`` pixels, f32 below (so the
+    # dataset1 golden-parity canvas, 0.55 Mpx, stays f32). Cost: a few u8
+    # levels of rounding in smooth gradients at bf16. FIR blur only.
+    dtype: str = "auto"
+    bf16_auto_area: int = 1_500_000
     # 0 (parity default) = blend the full canvas like the reference;
     # > 0 = pyramid-blend only a 4*seam_band-wide window at the seam and
     # copy a/b elsewhere (models/blender.py::blend_seam_band) — per-edge

@@ -60,6 +60,23 @@ def n_levels(h: int, w: int, mode: str = "max") -> int:
     return int(math.floor(math.log2(ext)))
 
 
+# the BlendConfig.bf16_auto_area default, used where only a dtype string
+# reaches the blend (sharded path, direct blend_two_images callers)
+AUTO_BF16_AREA = 1_500_000
+
+
+def resolve_dtype(dtype: str, h: int, w: int,
+                  area_threshold: int = AUTO_BF16_AREA) -> str:
+    """Resolve the "auto" blend-precision policy at trace time: bf16 when
+    the blend canvas exceeds ``area_threshold`` pixels (measured a ~2.2x
+    win at 1080p-canvas scale, a wash below — RESULTS round-2f/3), f32
+    otherwise. Shapes are static, so this adds no compile variants beyond
+    the canvas shape itself."""
+    if dtype != "auto":
+        return dtype
+    return "bf16" if h * w > area_threshold else "f32"
+
+
 def half_plane_mask(a: jnp.ndarray, b: jnp.ndarray,
                     content_h: jnp.ndarray | int | None = None) -> jnp.ndarray:
     """Vertical half-plane seam mask from the mid-row overlap centroid
@@ -150,13 +167,20 @@ def blend_stacked(s0: jnp.ndarray, levels: int,
 def blend_edge(a: jnp.ndarray, b: jnp.ndarray, bcfg,
                content_h: jnp.ndarray | int | None = None) -> jnp.ndarray:
     """Config-driven blend dispatch: the reference's full-canvas pyramid
-    (BlendConfig.seam_band == 0) or the seam-band window extension."""
+    (BlendConfig.seam_band == 0) or the seam-band window extension.
+    Resolves the "auto" precision policy against BlendConfig's area
+    threshold (the seam-band path resolves on its window instead)."""
+    thr = getattr(bcfg, "bf16_auto_area", AUTO_BF16_AREA)
     if bcfg.seam_band > 0:
+        wb = 4 * bcfg.seam_band
         return blend_seam_band(a, b, bcfg.seam_band, bcfg.level_mode,
                                bcfg.blur_sigma, bcfg.blur_impl, content_h,
-                               bcfg.dtype)
+                               resolve_dtype(bcfg.dtype, int(a.shape[0]),
+                                             min(wb, int(a.shape[1])), thr))
     return blend_two_images(a, b, bcfg.level_mode, bcfg.blur_sigma,
-                            bcfg.blur_impl, content_h, bcfg.dtype)
+                            bcfg.blur_impl, content_h,
+                            resolve_dtype(bcfg.dtype, int(a.shape[0]),
+                                          int(a.shape[1]), thr))
 
 
 @partial(jax.jit, static_argnames=("band", "level_mode", "blur_sigma",
@@ -200,6 +224,7 @@ def blend_seam_band(a: jnp.ndarray, b: jnp.ndarray, band: int,
     if wb > w:
         return blend_two_images(a, b, level_mode, blur_sigma, blur_impl,
                                 content_h, dtype)
+    dtype = resolve_dtype(dtype, h, wb)
     mask0 = half_plane_mask(a, b, content_h)
     # seam column: the half-plane row has one transition; count the prefix
     # equal to its first value (works for both left- and right-side masks)
@@ -235,6 +260,7 @@ def blend_two_images(a: jnp.ndarray, b: jnp.ndarray,
     ``dtype="bf16"``: reduced-precision pyramid (see blend_stacked).
     """
     h, w = a.shape[0], a.shape[1]
+    dtype = resolve_dtype(dtype, int(h), int(w))
     levels = n_levels(h, w, level_mode)
     mask0 = half_plane_mask(a, b, content_h)
     s0 = jnp.concatenate([a, b, mask0[..., None]], axis=-1)

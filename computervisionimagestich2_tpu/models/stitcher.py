@@ -147,13 +147,52 @@ def directed_adjacency(counts, threshold: int) -> list[list[bool]]:
 
 class Stitcher:
     """Panorama stitcher with the reference's semantics and a TPU-native
-    execution plan."""
+    execution plan.
+
+    ``mesh``: optional jax.sharding.Mesh — canvas composites and pyramid
+    blends then run row-sharded over ``mesh[mesh_axis]`` devices (ICI halo
+    exchange, parallel.blend.sharded_composite_and_blend) whenever the edge
+    qualifies (FIR blur, no gain compensation / seam band, canvas rows
+    shardable); unqualified edges fall back to the single-device program.
+    The multi-chip form of SURVEY.md §5 "shard the canvas compositing
+    across devices over ICI" as a pipeline MODE, not a demo.
+    """
 
     def __init__(self, config: StitchConfig = DEFAULT_CONFIG,
-                 artifact_dir: str | None = None):
+                 artifact_dir: str | None = None,
+                 mesh=None, mesh_axis: str = "sp"):
         self.config = config
         self._timer = obs.StageTimer()
         self.artifact_dir = artifact_dir
+        self.mesh = mesh
+        self.mesh_axis = mesh_axis
+
+    # ----------------------------------------------------------- mesh mode
+    def _mesh_n(self) -> int:
+        return int(self.mesh.shape[self.mesh_axis])
+
+    def _mesh_edge_ok(self, comp_hw: tuple[int, int]) -> bool:
+        """Host-side gate: can this edge run row-sharded? (FIR pyramid only,
+        no gain/seam-band variants on the sharded path, and the rounded
+        canvas must admit >= 1 truly sharded pyramid level.)"""
+        from ..parallel.blend import plan_shard_levels
+        from .blender import n_levels
+
+        cfg = self.config
+        if (self.mesh is None or cfg.blend.gain_compensation
+                or cfg.blend.seam_band > 0 or cfg.blend.blur_impl != "fir"):
+            return False
+        h, w = comp_hw
+        levels = n_levels(h, w, cfg.blend.level_mode)
+        return plan_shard_levels(h, levels, self._mesh_n(),
+                                 cfg.blend.blur_sigma) >= 1
+
+    def _mesh_comp_hw(self, comp_hw: tuple[int, int]) -> tuple[int, int]:
+        """Round the working-canvas rows up so stripes shard evenly with at
+        least one halved level (H % 2n == 0)."""
+        n2 = 2 * self._mesh_n()
+        h = -(-comp_hw[0] // n2) * n2
+        return (h, comp_hw[1])
 
     @property
     def stage_times(self) -> dict[str, float]:
@@ -375,21 +414,37 @@ class Stitcher:
             else:
                 comp_hw = (compose.bucket_size(new_h, cfg.canvas_bucket),
                            compose.bucket_size(new_w, cfg.canvas_bucket))
-            from ..ops.warp import banded_warp_params
+            if self.mesh is not None and self._mesh_edge_ok(
+                    self._mesh_comp_hw(comp_hw)):
+                from ..parallel.blend import sharded_composite_and_blend
 
-            bands = banded_warp_params(plan[k, 9:9 + n_coef], comp_hw,
-                                       min_x, min_y,
-                                       projected[dst_i].shape[:2],
-                                       cfg.warp_model)
-            result = _composite_and_blend(
-                projected[dst_i], result, bwd,
-                jnp.float32(min_x), jnp.float32(min_y), comp_hw,
-                (new_h, new_w), cfg, bands)
+                comp_hw = self._mesh_comp_hw(comp_hw)
+                blended = sharded_composite_and_blend(
+                    projected[dst_i], result, bwd, min_x, min_y, comp_hw,
+                    self.mesh, self.mesh_axis, cfg.warp_model,
+                    cfg.blend.level_mode, cfg.blend.blur_sigma,
+                    content_h=new_h, dtype=cfg.blend.dtype)
+                result = trunc_u8(blended[:new_h, :new_w])
+            else:
+                from ..ops.warp import banded_warp_params
+
+                bands = banded_warp_params(plan[k, 9:9 + n_coef], comp_hw,
+                                           min_x, min_y,
+                                           projected[dst_i].shape[:2],
+                                           cfg.warp_model)
+                result = _composite_and_blend(
+                    projected[dst_i], result, bwd,
+                    jnp.float32(min_x), jnp.float32(min_y), comp_hw,
+                    (new_h, new_w), cfg, bands)
             obs.log("edge", src=src_i, dst=dst_i, canvas=(new_h, new_w))
             if plan[k, 22] > 0:
                 obs.warn("match_overflow", src=src_i, dst=dst_i,
                         dropped=int(plan[k, 22]),
                         capacity=cfg.match.max_matches)
+        if self.mesh is not None and hasattr(result, "sharding"):
+            # hand the enhance tail (default-device jits) a local array —
+            # mixing mesh-committed operands into them raises
+            result = jnp.asarray(np.asarray(result))
         return result
 
     # ---------------------------------------------------------------- resume

@@ -267,6 +267,9 @@ def sharded_blend_two_images(a: jnp.ndarray, b: jnp.ndarray, mesh: Mesh,
     gathered tail all run in bfloat16 (half the HBM *and* ICI traffic)."""
     h, w = int(a.shape[0]), int(a.shape[1])
     n = mesh.shape[axis_name]
+    from ..models.blender import resolve_dtype
+
+    dtype = resolve_dtype(dtype, h, w)
     if dtype not in ("f32", "bf16"):
         raise ValueError(f"unknown blend dtype {dtype!r}")
     levels = n_levels(h, w, level_mode)

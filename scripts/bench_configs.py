@@ -56,16 +56,40 @@ def main():
     st2 = Stitcher(DEFAULT_CONFIG)
     results["panorama4_input_ms"] = timed(lambda: st2.stitch(input1))
 
-    # config 3: batched panoramas — the chain-edge registrations of a set
-    # as ONE vmapped device program (the batch axis shards over a mesh's
-    # data axis on multi-chip; single chip here). Input/ and Input2/ have
-    # different shapes, so each set is its own batch.
+    # config 3 AS WRITTEN: "Input/ and Input2/ sets stitched in one vmapped
+    # batch" — whole PANORAMAS batched (SIFT -> ordering-free chain plan ->
+    # composites -> blends), not just registrations. The sets differ in
+    # resolution, so Input/ is zero-padded up to Input2's frame (content
+    # registers against content; the batch axis shards over a mesh's data
+    # axis on multi-chip — single chip here).
     import jax.numpy as jnp
 
+    from computervisionimagestich2_tpu.parallel.batched import (
+        batched_pairwise_register, batched_stitch_chain)
+
+    h2, w2 = np.asarray(input2[0]).shape[:2]
+
+    def padded_batch():
+        def pad(im):
+            im = np.asarray(im)
+            return np.pad(im, ((0, h2 - im.shape[0]),
+                               (0, w2 - im.shape[1]), (0, 0)))
+        return jnp.asarray(np.stack([
+            np.stack([pad(im) for im in input1]),
+            np.stack([np.asarray(im) for im in input2])]))
+
+    batch = padded_batch()
+
+    def batched_panoramas():
+        canvases, plans = batched_stitch_chain(batch, DEFAULT_CONFIG)
+        return float(np.asarray(canvases).sum())  # force readback
+
+    results["batched_panoramas_input_input2_ms"] = timed(batched_panoramas,
+                                                         n=2)
+
+    # batched registration alone (the round-2 form, kept for comparison)
     from computervisionimagestich2_tpu.ops.color import to_gray
     from computervisionimagestich2_tpu.ops.warp import cylindrical_project
-    from computervisionimagestich2_tpu.parallel.batched import (
-        batched_pairwise_register)
 
     def batched_register(images):
         grays = [to_gray(cylindrical_project(

@@ -44,12 +44,15 @@ def test_feature_flags_thread_into_config():
     assert cfg.blend.gain_compensation
     assert cfg.warp_model == "projective"
     assert cfg.exact_canvas
-    assert cfg.blend.dtype == "f32"
+    assert cfg.blend.dtype == "auto"
 
 
 def test_blend_dtype_flag_threads_into_config():
     assert cli.build_config(parse("--blend-dtype", "bf16")).blend.dtype == \
         "bf16"
+    assert cli.build_config(parse("--blend-dtype", "f32")).blend.dtype == \
+        "f32"
+    assert cli.build_config(parse()).blend.dtype == "auto"
 
 
 def test_seam_band_flag_threads_into_config():

@@ -151,6 +151,7 @@ def test_sharded_blend_rejects_unshardable_height():
         sharded_blend_two_images(a, a, mesh, "sp")
 
 
+@pytest.mark.slow
 def test_batched_register_sharded(rng):
     """Sharded execution must agree with single-device execution — the
     invariant that matters for dp sharding (absolute registration quality is
@@ -198,6 +199,7 @@ def test_batched_register_sharded(rng):
         0.1 * np.asarray(ref_inliers).max() + 2
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_entrypoint():
     import importlib.util
     spec = importlib.util.spec_from_file_location(
@@ -208,3 +210,102 @@ def test_dryrun_multichip_entrypoint():
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
     mod.dryrun_multichip(8)
+
+
+@pytest.mark.slow
+def test_batched_stitch_chain_matches_per_panorama(rng):
+    """BASELINE config 3 as written: a batch of panoramas stitched in one
+    vmapped program must equal the same fixed-canvas stitch run per
+    panorama (and the content extent must match the Stitcher's canvas)."""
+    from computervisionimagestich2_tpu.parallel.batched import (
+        _nopallas, _stitch_one_fixed, batched_stitch_chain)
+
+    from tests.test_integration import make_scene
+
+    h, w, k = 128, 112, 3
+    base = make_scene(np.random.default_rng(3), h, 3 * w).astype(np.float32)
+    # two panoramas of k overlapping crops each (~60% overlap)
+    step = int(w * 0.4)
+    def crops(off):
+        return np.stack([base[:, off + i * step: off + i * step + w]
+                         for i in range(k)])
+    batch = jnp.asarray(np.stack([crops(0), crops(24)]).astype(np.uint8))
+
+    canvas_hw = (192, 256)
+    out, plans = batched_stitch_chain(batch, TINY, canvas_hw)
+    assert out.shape == (2, 192, 256, 3)
+
+    cfgx = _nopallas(TINY)
+    from computervisionimagestich2_tpu.models.stitcher import bfs_edge_seq
+    adj = [[abs(i - j) == 1 for j in range(k)] for i in range(k)]
+    edge_seq = tuple(bfs_edge_seq(adj, k // 2))
+    for i in range(2):
+        single, plan_1 = _stitch_one_fixed(batch[i], cfgx, canvas_hw,
+                                           edge_seq)
+        np.testing.assert_allclose(np.asarray(out[i]), np.asarray(single),
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(plans[i]), np.asarray(plan_1),
+                                   rtol=1e-5, atol=1e-4)
+    # registration sanity: the synthetic shift must be recovered — final
+    # content width ~ w + 2*step within a few px
+    final_w = np.asarray(plans[:, -1, 20])
+    assert np.all(np.abs(final_w - (w + 2 * step)) < 10), final_w
+
+
+@pytest.mark.slow
+def test_batched_stitch_chain_sharded_over_mesh(rng):
+    """The panorama batch axis shards over the data mesh axis (config 3's
+    multi-chip form): per-device results equal the unsharded run."""
+    from computervisionimagestich2_tpu.parallel.batched import (
+        batched_stitch_chain)
+
+    from tests.test_integration import make_scene
+
+    h, w, k = 128, 112, 2
+    base = make_scene(np.random.default_rng(5), h, 2 * w + 8).astype(
+        np.float32)
+    step = int(w * 0.4)
+    panos = []
+    for off in range(8):
+        panos.append(np.stack([base[:, off + i * step: off + i * step + w]
+                               for i in range(k)]))
+    batch = jnp.asarray(np.stack(panos).astype(np.uint8))
+
+    mesh = make_mesh(8, sp=1)  # data axis = 8
+    (sharded,) = shard_batch(mesh, batch)
+    out_ref, plans_ref = batched_stitch_chain(batch, TINY, (192, 256))
+    out_sh, plans_sh = batched_stitch_chain(sharded, TINY, (192, 256))
+    # GSPMD partitioning reassociates f32 reductions, which can flip a
+    # near-tie RANSAC hypothesis and move the warp by sub-pixel — identical
+    # semantics, not bit-identical pixels. Demand near-equality: <0.1% of
+    # pixels may differ, none by more than a fine-structure step.
+    diff = np.abs(np.asarray(out_sh) - np.asarray(out_ref))
+    assert (diff > 0).mean() < 1e-3, (diff > 0).mean()
+    assert diff.max() <= 16.0, diff.max()
+    np.testing.assert_allclose(np.asarray(plans_sh)[:, :, 18:22],
+                               np.asarray(plans_ref)[:, :, 18:22], atol=1.0)
+
+
+@pytest.mark.slow
+def test_stitcher_mesh_mode_matches_single_device():
+    """Stitcher(mesh=...) — multi-device as a MODE: the full pipeline with
+    row-sharded composite+blend edges must reproduce the single-device
+    panorama (same plan; blend differs only by f32 round-off -> at most
+    +-1 u8 after truncation)."""
+    from tests.test_integration import make_scene
+    from computervisionimagestich2_tpu.models.stitcher import Stitcher
+
+    h, w, k = 128, 112, 3
+    base = make_scene(np.random.default_rng(3), h, 3 * w)
+    step = int(w * 0.4)
+    images = [base[:, i * step: i * step + w] for i in range(k)]
+    cfg = dataclasses.replace(TINY, ordering="chain", exact_canvas=False)
+
+    single = Stitcher(cfg).stitch(images)
+    mesh = make_mesh(8, sp=8)
+    st = Stitcher(cfg, mesh=mesh)
+    meshed = st.stitch(images)
+    assert meshed.shape == single.shape
+    diff = np.abs(meshed.astype(np.int32) - single.astype(np.int32))
+    assert (diff > 1).mean() < 1e-3, (diff > 1).mean()
+    assert diff.max() <= 16, diff.max()
