@@ -89,7 +89,27 @@ def main():
         "vs_baseline": round(baseline_ms / ms, 3),
         "median_ms": round(median_ms, 2),
         "vs_baseline_median": round(baseline_ms / median_ms, 3),
-    }))
+    }), flush=True)
+
+    # second line: the BASELINE.json north-star metric (4-image 1080p) —
+    # e2e wall + the tunnel-independent device-side stage sum the <50 ms
+    # target judges (VERDICT r2 #8). Never allowed to break the primary
+    # metric above. Skip with PANORAMA_BENCH_FAST=1.
+    import os
+
+    if os.environ.get("PANORAMA_BENCH_FAST"):
+        return
+    try:
+        import sys
+
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from scripts.bench_northstar import northstar_line
+
+        print(json.dumps(northstar_line()), flush=True)
+    except Exception as e:  # noqa: BLE001 — report, don't fail the bench
+        print(json.dumps({
+            "metric": "panorama_4img_1080p_northstar", "value": -1.0,
+            "unit": "ms", "error": repr(e)[:300]}), flush=True)
 
 
 if __name__ == "__main__":

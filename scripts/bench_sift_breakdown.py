@@ -162,5 +162,78 @@ def main():
                       "stages": out}))
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and "--walks" not in sys.argv:
     main()
+    sys.exit(0)
+
+
+def walk_slopes(hw=1080, k=8):
+    """Per-keypoint slopes of the lane-packed walk kernels: time the ori
+    and desc Pallas calls alone at octave-0 level geometry for two live
+    counts, report (us/kp, intercept). Run via --walks."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from computervisionimagestich2_tpu.config import DEFAULT_CONFIG
+    from computervisionimagestich2_tpu.ops import pallas_sift as ps
+    from computervisionimagestich2_tpu.ops import sift_kernels as sk
+
+    cfg = DEFAULT_CONFIG.sift
+    H = hw
+    W = int(H * 3 / 4)
+    rng = np.random.default_rng(0)
+    mod = jnp.asarray(rng.random((H, W), dtype=np.float32))
+    ang = jnp.asarray(rng.random((H, W), dtype=np.float32) * 6.28)
+
+    floor = measure(lambda s: s + 1.0, (jnp.float32(1.0),))
+    out = {}
+    for l in range(cfg.n_levels):
+        r_ori = sk.ori_patch_radius(cfg.sigma0, cfg.n_levels, cfg.s_max, l)
+        r_desc = sk.desc_patch_radius(cfg.sigma0, cfg.n_levels, cfg.s_max,
+                                      cfg.magnif, cfg.n_spatial_bins, l)
+        for name, r, fn in (
+            ("ori", r_ori, lambda mp, ap, x, y, s, a, nv, r=r_ori:
+                ps.orientation_hist_pallas(mp, ap, x, y, s, nv, W, H,
+                                           r)[0].sum()),
+            ("desc", r_desc, lambda mp, ap, x, y, s, a, nv, r=r_desc:
+                ps.descriptors_pallas(mp, ap, x, y, s, a, nv, W, H,
+                                      r)[0].sum()),
+        ):
+            mp = jax.block_until_ready(ps.pad_for_patches(mod, r))
+            ap = ps.pad_for_patches(ang, r)
+            cap = 4096
+            x = jnp.asarray(rng.uniform(2, W - 3, cap), jnp.float32)
+            y = jnp.asarray(rng.uniform(2, H - 3, cap), jnp.float32)
+            sig = jnp.asarray(
+                rng.uniform(1.2, 1.2 * 2 ** ((l + 1.4) / 2), cap),
+                jnp.float32)
+            a0 = jnp.asarray(rng.uniform(0, 6.28, cap), jnp.float32)
+            ts = {}
+            for nv in (1024, 3072):
+                nva = jnp.asarray([nv], jnp.int32)
+
+                def scanned(mpx):
+                    def step(c, i):
+                        return c + fn(mpx + i * 1e-6, ap, x, y, sig, a0,
+                                      nva), ()
+                        # noqa
+                    tot, _ = lax.scan(step, jnp.float32(0.0),
+                                      jnp.arange(k).astype(jnp.float32))
+                    return tot
+                wall = measure(scanned, (mp,))
+                ts[nv] = max(wall - floor, 0.0) / k
+            slope_us = (ts[3072] - ts[1024]) / 2048.0 * 1e3
+            out[f"{name}_l{l}"] = {
+                "radius": r, "pack": ps._pack(2 * r + 1),
+                "ms@1024": round(ts[1024], 3), "ms@3072": round(ts[3072], 3),
+                "us_per_kp": round(slope_us, 3)}
+            print(f"{name} l{l} r={r} pack={ps._pack(2 * r + 1)}: "
+                  f"{ts[1024]:.3f} ms @1024, {ts[3072]:.3f} ms @3072 "
+                  f"-> {slope_us:.3f} us/kp")
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    sys.argv.remove("--walks")
+    walk_slopes()

@@ -26,10 +26,13 @@ for f in ImageProcess Projection equalization; do
   $CXX -c $REF/$f.cpp -o build/ex6/$f.o
 done
 $CXX -c scripts/ex6_driver.cpp -o build/ex6/driver.o
-g++ build/ex6/driver.o build/ex6/ImageProcess.o build/ex6/Projection.o \
+$CXX -c scripts/refit_driver.cpp -o build/ex6/refit_driver.o
+LIBS="build/ex6/ImageProcess.o build/ex6/Projection.o \
     build/ex6/equalization.o build/ex6/sift.o build/ex6/imopv.o \
     build/ex6/imopv_sse2.o build/ex6/mathop.o build/ex6/mathop_sse2.o \
     build/ex6/kdtree.o build/ex6/generic.o build/ex6/random.o \
-    build/ex6/host.o -lm -lpthread -o build/ex6_ref
+    build/ex6/host.o"
+g++ build/ex6/driver.o $LIBS -lm -lpthread -o build/ex6_ref
+g++ build/ex6/refit_driver.o $LIBS -lm -lpthread -o build/refit_ref
 gcc -O2 -shared -fPIC scripts/libfaketime_stub.c -o build/libfaketime.so
-echo "built build/ex6_ref + build/libfaketime.so"
+echo "built build/ex6_ref + build/refit_ref + build/libfaketime.so"

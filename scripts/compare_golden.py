@@ -28,9 +28,20 @@ import numpy as np
 
 
 def main():
+    import argparse
+
     from computervisionimagestich2_tpu.config import DEFAULT_CONFIG
     from computervisionimagestich2_tpu.models.stitcher import Stitcher
     from computervisionimagestich2_tpu.utils.io import load_image
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--hypotheses", type=int, default=0,
+                    help="override RansacConfig.n_hypotheses (attribution "
+                         "experiments; 0 = config default)")
+    ap.add_argument("--seed", type=int, default=0,
+                    help="override the RANSAC base seed (our own "
+                         "draw-envelope studies; 0 = reference's 666666)")
+    args = ap.parse_args()
 
     golden = load_image("/root/reference/src/ex6/dataset1/result.bmp")
     images = [load_image(f"/root/reference/src/ex6/dataset1/{i}.bmp")
@@ -41,6 +52,12 @@ def main():
         blend=dataclasses.replace(DEFAULT_CONFIG.blend, level_mode="min"),
         enhance=dataclasses.replace(DEFAULT_CONFIG.enhance,
                                     mix_weight=5.0 / 6.0))
+    if args.hypotheses:
+        cfg = dataclasses.replace(cfg, ransac=dataclasses.replace(
+            cfg.ransac, n_hypotheses=args.hypotheses))
+    if args.seed:
+        cfg = dataclasses.replace(cfg, ransac=dataclasses.replace(
+            cfg.ransac, seed=args.seed))
     ours = Stitcher(cfg).stitch(images)
 
     gh, gw = golden.shape[:2]
