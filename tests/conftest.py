@@ -33,6 +33,17 @@ def pytest_sessionstart(session):
     assert jax.default_backend() == "cpu", jax.default_backend()
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Drop compiled executables between test modules: the XLA:CPU JIT
+    segfaulted twice deep into full-suite runs (inside
+    backend_compile_and_load, hundreds of cached executables in-process)
+    while the same test passed alone — bounding the live compilation state
+    avoids it, and caps the suite's memory growth."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture(scope="session")
 def input_images():
     """The 4-image Input/ dataset (384x512 BMPs) as RGB uint8 arrays."""

@@ -55,6 +55,7 @@ def test_two_image_panorama_chain(rng):
     assert out[:, :30].mean() > 10 and out[:, -30:].mean() > 10
 
 
+@pytest.mark.slow
 def test_two_image_panorama_graph_ordering(rng):
     scene = make_scene(rng)
     left = scene[:, :140]
@@ -132,6 +133,7 @@ def test_match_counts_n1_and_directed_rule():
     assert adj == [[False, True], [True, False]]
 
 
+@pytest.mark.slow
 def test_planned_matches_incremental(rng):
     """planned=True (single-program edge registration, registration.plan_edges)
     must reproduce the incremental per-edge loop. XLA's excess-precision
@@ -150,6 +152,7 @@ def test_planned_matches_incremental(rng):
     assert (diff > 0).mean() < 1e-3
 
 
+@pytest.mark.slow
 def test_bucketed_canvas_matches_exact(rng):
     """exact_canvas=False pads each working canvas onto a geometric size
     grid (compose.bucket_size) and crops the blend back — O(log) distinct
@@ -184,6 +187,7 @@ def test_bucketed_canvas_matches_exact(rng):
     assert diff2.mean() < 8.0, diff2.mean()
 
 
+@pytest.mark.slow
 def test_real_images_register(input_images):
     """VERDICT r1 weak #8: the synthetic blob scenes can't catch texture/
     contrast regressions only real photographs exhibit. Half-resolution
@@ -250,6 +254,7 @@ def test_resume_from_features_identical(tmp_path, rng):
     np.testing.assert_array_equal(out_full, out3)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("planned", [True, False])
 def test_color_transfer_edge_option(rng, planned):
     """cfg.color_transfer applies the reference's disabled per-edge Reinhard

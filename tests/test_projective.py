@@ -8,6 +8,7 @@ from computervisionimagestich2_tpu.core.types import MatchPairs
 from computervisionimagestich2_tpu.models.ransac import ransac_warp
 from computervisionimagestich2_tpu.ops.solve import solve_projective
 from computervisionimagestich2_tpu.ops.warp import projective_xy, warp_points
+import pytest
 
 
 def apply_h(h, x, y):
@@ -47,6 +48,7 @@ def test_ransac_projective_with_outliers(rng):
     np.testing.assert_allclose(np.asarray(gv), v[15:], atol=1.0)
 
 
+@pytest.mark.slow
 def test_stitcher_projective_mode(rng):
     from test_integration import SMALL, make_scene
     from computervisionimagestich2_tpu.models.stitcher import Stitcher

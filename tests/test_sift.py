@@ -83,6 +83,7 @@ def test_sift_empty_image():
     assert int(np.asarray(feats.count())) == 0
 
 
+@pytest.mark.slow
 def test_sift_omin_negative_upsampled_octave():
     """o_min=-1 (vl/sift.c:322-409): the upsampled first octave detects
     finer scales (sigma below the o_min=0 floor), coordinates stay in

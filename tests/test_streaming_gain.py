@@ -6,6 +6,7 @@ import numpy as np
 from computervisionimagestich2_tpu.models.gain import gain_compensate
 from computervisionimagestich2_tpu.models.streaming import StreamingStitcher
 from test_integration import SMALL, make_scene
+import pytest
 
 
 def test_gain_compensate_matches_means(rng):
@@ -45,6 +46,7 @@ def test_gain_compensate_clamped(rng):
     np.testing.assert_allclose(out, 20.0, atol=0.5)  # gain clamped to 2.0
 
 
+@pytest.mark.slow
 def test_streaming_three_frames(rng):
     scene = make_scene(rng, h=140, w=320)
     frames = [scene[:, 0:140], scene[:, 60:200], scene[:, 120:260]]
@@ -95,6 +97,7 @@ def _stream_drift(frames, dx: float, anchor: str) -> float:
     return abs(est_dx - true_dx)
 
 
+@pytest.mark.slow
 def test_streaming_drift_bounded_and_keyframe_no_worse(rng):
     """VERDICT r1 weak #10: measure accumulated registration drift.
 

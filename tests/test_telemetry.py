@@ -11,8 +11,10 @@ import jax.numpy as jnp
 
 from computervisionimagestich2_tpu.config import SiftConfig
 from computervisionimagestich2_tpu.core.types import Features
+import pytest
 
 
+@pytest.mark.slow
 def test_sift_final_capacity_overflow_reported(rng):
     from computervisionimagestich2_tpu.models.sift import sift_extract_stats
 

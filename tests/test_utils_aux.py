@@ -5,6 +5,7 @@ import numpy as np
 from computervisionimagestich2_tpu.config import DEFAULT_CONFIG, RansacConfig
 from computervisionimagestich2_tpu.core.types import Features
 from computervisionimagestich2_tpu.utils import artifacts, obs
+import pytest
 
 
 def test_features_roundtrip(tmp_path, rng):
@@ -35,6 +36,7 @@ def test_stage_roundtrip(tmp_path, rng):
     assert m["n_images"] == 4
 
 
+@pytest.mark.slow
 def test_stitcher_artifact_dump(tmp_path, rng):
     import dataclasses
     from computervisionimagestich2_tpu.config import MatchConfig, SiftConfig

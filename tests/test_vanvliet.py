@@ -3,6 +3,8 @@
 import numpy as np
 import jax.numpy as jnp
 
+import pytest
+
 from computervisionimagestich2_tpu.ops.gaussian import (
     _triggs_matrix, _vanvliet_coefs, vanvliet_blur, vanvliet_blur_axis)
 
@@ -116,6 +118,7 @@ def test_blur_2d_skips_size1_axes():
     np.testing.assert_allclose(got, expect, atol=0.05)
 
 
+@pytest.mark.slow
 def test_wide_canvas_vanvliet_blend():
     """A wide panorama canvas whose short-axis pyramid reaches size 1
     (40x600, level_mode='max' -> 9 levels) must not crash in the vanvliet
