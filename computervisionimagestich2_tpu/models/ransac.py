@@ -62,8 +62,17 @@ def ransac_warp(pairs: MatchPairs, key: jax.Array,
 
     best = jnp.argmax(counts)
     best_mask = inliers[best]
-    coeffs = solve_fn(pairs.src_xy, pairs.dst_xy,
-                      best_mask.astype(jnp.float32))
+    if model == "bilinear":
+        # warm-started residual refit: keeps every f32 intermediate at
+        # O(threshold) px — without it the f32 normal equations drift
+        # 1.8-3.6 px (corners) off the reference's f64 refit on the SAME
+        # inlier set (scripts/parity_refit.py, RESULTS round 3)
+        coeffs = solve_warp(pairs.src_xy, pairs.dst_xy,
+                            best_mask.astype(jnp.float32),
+                            init=coeffs_k[best])
+    else:
+        coeffs = solve_fn(pairs.src_xy, pairs.dst_xy,
+                          best_mask.astype(jnp.float32))
     return coeffs, best_mask, counts[best]
 
 

@@ -72,9 +72,13 @@ def build_octave(base: jnp.ndarray, cfg: SiftConfig, first_sigma: float | None):
 
 def candidate_capacity(h: int, w: int) -> int:
     """Static candidate-list capacity per octave. Strict 26-neighbor extrema
-    are sparse; this bound is generous for natural images (overflow drops
-    trailing candidates in scan order)."""
-    return max(1024, min((h * w) // 16, 32768))
+    are sparse: measured densities across dataset1/Input2/1080p inputs top
+    out at 3.5 candidates / 1000 px (RESULTS round 3), so area/64
+    (15.6/1000) keeps >4x headroom — while the refine chase, candidate
+    compaction, and their gathers all scale with this capacity (area/16
+    made refine ~2.4x slower for zero extra candidates). Overflow drops
+    trailing candidates in scan order and is reported via telemetry."""
+    return max(1024, min((h * w) // 64, 32768))
 
 
 def keypoint_capacity(h: int, w: int, cap_max: int) -> int:
@@ -134,13 +138,18 @@ def _process_octave(octave: jnp.ndarray, cfg: SiftConfig, octave_index: int):
 
     # per-level batches: level-l keypoints have sn < l + 1.5 (|b_s| < 1.5),
     # so their orientation/descriptor windows are tighter — the dominant
-    # per-keypoint cost scales with the realistic patch, not the worst case
-    cap_l = max(128, (2 * cap_kp) // (cfg.n_levels + 1))
+    # per-keypoint cost scales with the realistic patch, not the worst case.
+    # Extrema density halves per scale level (measured l1/l0 ~ 0.35 across
+    # datasets, RESULTS round 3), so upper levels get half the slots — the
+    # walk grids, compactions, and peak extraction all scale with cap_l.
+    def cap_level(l: int) -> int:
+        return max(128, (2 * cap_kp) // ((cfg.n_levels + 1) * (2 if l else 1)))
     use_pallas = _pallas_enabled(cfg)
     results = []
     kp_dropped = jnp.int32(0)
     desc_dropped = jnp.int32(0)
     for l in range(cfg.n_levels):
+        cap_l = cap_level(l)
         sel = ok & (lvl == l)
         kp_idx, kp_valid = sk.compact_indices(sel, cap_l)
         kp_dropped += jnp.maximum(jnp.sum(sel.astype(jnp.int32)) - cap_l, 0)
@@ -173,11 +182,6 @@ def _process_octave(octave: jnp.ndarray, cfg: SiftConfig, octave_index: int):
         rep = lambda a: jnp.repeat(a, cfg.max_angles, axis=0)
         ka_x, ka_y, ka_sigma = map(rep, (xl, yl, sl))
         ka_angle = angles.reshape(-1)
-        da_idx, d_valid = sk.compact_indices(ka_valid, cap_d)
-        desc_dropped += jnp.maximum(
-            jnp.sum(ka_valid.astype(jnp.int32)) - cap_d, 0)
-        d_x, d_y, d_sigma, d_angle = (
-            ka_x[da_idx], ka_y[da_idx], ka_sigma[da_idx], ka_angle[da_idx])
 
         r_desc = sk.desc_patch_radius(cfg.sigma0, cfg.n_levels, cfg.s_max,
                                       cfg.magnif, cfg.n_spatial_bins, l)
@@ -185,15 +189,54 @@ def _process_octave(octave: jnp.ndarray, cfg: SiftConfig, octave_index: int):
                 and cfg.n_spatial_bins ** 2 * cfg.n_desc_ori_bins == 128:
             from ..ops import pallas_sift as ps
 
-            mod_d = ps.pad_for_patches(grad[l, :, :, 0], r_desc)
-            ang_d = ps.pad_for_patches(grad[l, :, :, 1], r_desc)
-            n_d = jnp.sum(d_valid.astype(jnp.int32))[None]
-            desc, d_ok = ps.descriptors_pallas(
-                mod_d, ang_d, d_x / xper, d_y / xper, d_sigma / xper,
-                d_angle, n_d, w, h, r_desc, cfg.magnif,
-                cfg.n_spatial_bins / 2.0, cfg.n_spatial_bins,
-                cfg.n_desc_ori_bins)
+            # Split the level's keypoints into two SIGMA BUCKETS and walk
+            # each at its own (static) patch radius: the level radius is
+            # the worst case over sn in [l-0.5, l+1.5), but the walk cost
+            # scales with rows(P)*256/lane_pack — at the sn <= l+0.5
+            # midpoint the radius shrinks ~2^-0.5, the DMA window drops a
+            # sublane tile or two, and the lane packing rises (e.g. l1:
+            # P 115 -> 81, pack 2 -> 3: 2x fewer step-rows per keypoint).
+            # Bucket membership replicates the kernel's own window bound
+            # wr = floor(sqrt(2)*sbp*(NBP+1)/2+0.5) (vl/sift.c:1310-1311)
+            # so a keypoint NEVER lands in a bucket whose patch truncates
+            # its window.
+            r_small = sk.desc_patch_radius(
+                cfg.sigma0, cfg.n_levels, cfg.s_max, cfg.magnif,
+                cfg.n_spatial_bins, l - 1)
+            sbp_kp = cfg.magnif * ka_sigma / xper + 2.220446049250313e-16
+            wr_kp = jnp.floor(math.sqrt(2.0) * sbp_kp
+                              * (cfg.n_spatial_bins + 1) / 2.0 + 0.5)
+            if r_small < r_desc:
+                # sn concentrates near the level center (|b_s| ~ 0): the
+                # high bucket measured <= 7 keypoints vs ~2000 low at 1080p
+                buckets = [(r_small, ka_valid & (wr_kp <= r_small), cap_l),
+                           (r_desc, ka_valid & (wr_kp > r_small),
+                            max(128, cap_l // 8))]
+            else:
+                buckets = [(r_desc, ka_valid, cap_d)]
+            for r_b, sel_b, cap_b in buckets:
+                db_idx, b_valid = sk.compact_indices(sel_b, cap_b)
+                desc_dropped += jnp.maximum(
+                    jnp.sum(sel_b.astype(jnp.int32)) - cap_b, 0)
+                b_x, b_y, b_sigma, b_angle = (
+                    ka_x[db_idx], ka_y[db_idx], ka_sigma[db_idx],
+                    ka_angle[db_idx])
+                mod_d = ps.pad_for_patches(grad[l, :, :, 0], r_b)
+                ang_d = ps.pad_for_patches(grad[l, :, :, 1], r_b)
+                n_b = jnp.sum(b_valid.astype(jnp.int32))[None]
+                desc, d_ok = ps.descriptors_pallas(
+                    mod_d, ang_d, b_x / xper, b_y / xper, b_sigma / xper,
+                    b_angle, n_b, w, h, r_b, cfg.magnif,
+                    cfg.n_spatial_bins / 2.0, cfg.n_spatial_bins,
+                    cfg.n_desc_ori_bins)
+                results.append((desc, jnp.stack([b_x, b_y], axis=-1),
+                                b_sigma, d_ok))
         else:
+            da_idx, d_valid = sk.compact_indices(ka_valid, cap_d)
+            desc_dropped += jnp.maximum(
+                jnp.sum(ka_valid.astype(jnp.int32)) - cap_d, 0)
+            d_x, d_y, d_sigma, d_angle = (
+                ka_x[da_idx], ka_y[da_idx], ka_sigma[da_idx], ka_angle[da_idx])
             grad_pad2 = jnp.pad(grad_l, ((0, 0), (r_desc, r_desc),
                                          (r_desc, r_desc), (0, 0)))
             desc, d_ok = sk.descriptors(
@@ -201,7 +244,8 @@ def _process_octave(octave: jnp.ndarray, cfg: SiftConfig, octave_index: int):
                 d_y / xper, d_sigma / xper, d_angle, d_valid, w, h, r_desc,
                 cfg.magnif, cfg.n_spatial_bins / 2.0, cfg.n_spatial_bins,
                 cfg.n_desc_ori_bins)
-        results.append((desc, jnp.stack([d_x, d_y], axis=-1), d_sigma, d_ok))
+            results.append((desc, jnp.stack([d_x, d_y], axis=-1), d_sigma,
+                            d_ok))
 
     desc = jnp.concatenate([r[0] for r in results])
     xy = jnp.concatenate([r[1] for r in results])

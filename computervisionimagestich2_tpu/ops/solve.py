@@ -79,13 +79,25 @@ def _solve4_spd(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 
 def solve_warp(src_xy: jnp.ndarray, dst_xy: jnp.ndarray,
-               weights: jnp.ndarray | None = None) -> jnp.ndarray:
+               weights: jnp.ndarray | None = None,
+               init: jnp.ndarray | None = None) -> jnp.ndarray:
     """Fit the 8-coefficient bilinear warp mapping src -> dst.
 
     src_xy, dst_xy: [N, 2]. weights: optional [N] mask/weights for the
     least-squares refit (the RANSAC inlier set with static shape). With
     N == 4 and unit weights this reproduces the reference's exact minimal
     solve; with more points it is the least-squares refit.
+
+    ``init``: optional (8,) warm-start coefficients (e.g. the best RANSAC
+    hypothesis). The model is linear in its coefficients, so the least-
+    squares solution decomposes exactly as
+        argmin ||A h - d|| = init + argmin ||A dh - (d - A init)||
+    and fitting the RESIDUAL keeps every f32 intermediate at O(threshold)
+    pixels instead of O(image size). Without it, forming A^T d in f32 with
+    dst values ~O(500) rounds away the px-level signal: measured 1.8-3.6 px
+    of warped-corner drift vs the reference's f64 CImg refit ON THE SAME
+    inlier set (scripts/parity_refit.py, round 3); with init + one
+    refinement step the drift is < 0.02 px.
 
     Returns the flat (8,) coefficient vector
     [w11, w12, w13, w21, w22, w23, w31, w32] (see ops.warp.warp_xy).
@@ -99,19 +111,41 @@ def solve_warp(src_xy: jnp.ndarray, dst_xy: jnp.ndarray,
     spread = jnp.sum(weights * (jnp.abs(x - cx) + jnp.abs(y - cy))) / wsum
     s = jnp.maximum(spread, 1e-3)
 
+    if init is not None:
+        ini = init.reshape(2, 4)
+        pred = jnp.stack([
+            ini[0, 0] * x + ini[0, 1] * y + ini[0, 2] * x * y + ini[0, 3],
+            ini[1, 0] * x + ini[1, 1] * y + ini[1, 2] * x * y + ini[1, 3],
+        ], axis=-1)
+        dst_xy = dst_xy - pred
+    # center the target channels: the fitted constant column absorbs the
+    # centroid exactly, and A^T d then sums O(residual)-sized terms
+    cu = jnp.sum(weights * dst_xy[:, 0]) / wsum
+    cv = jnp.sum(weights * dst_xy[:, 1]) / wsum
+    duv = jnp.stack([cu, cv])
+    dst_c = dst_xy - duv
+
     xn = (x - cx) / s
     yn = (y - cy) / s
     a_mat = _design_rows(xn, yn)                      # [N, 4]
     aw = a_mat * weights[:, None]
     ata = aw.T @ a_mat                                 # [4, 4]
-    atb = aw.T @ dst_xy                                # [4, 2]
+    atb = aw.T @ dst_c                                 # [4, 2]
     # Tikhonov epsilon keeps degenerate samples (duplicate points) finite;
     # RANSAC scoring discards them, mirroring the reference where CImg's
     # solver returns garbage for singular systems.
     ata = ata + 1e-6 * jnp.eye(4, dtype=ata.dtype)
-    coeffs_n = _solve4_spd(ata, atb).T                 # [2, 4]
+    sol = _solve4_spd(ata, atb)                        # [4, 2]
+    # one step of iterative refinement against the original residual
+    # (normal equations square the condition number; one correction step
+    # reaches f32 roundoff at these conditioning levels)
+    r = dst_c - a_mat @ sol                            # [N, 2]
+    sol = sol + _solve4_spd(ata, aw.T @ r)
+    sol = sol.at[3, :].add(duv)                        # un-center targets
+    coeffs_n = sol.T                                   # [2, 4]
     coeffs = _denormalize(coeffs_n, cx, cy, s)         # [2, 4]
-    return coeffs.reshape(8)
+    flat = coeffs.reshape(8)
+    return flat + init if init is not None else flat
 
 
 solve_warp_batched = jax.vmap(solve_warp, in_axes=(0, 0, None))
@@ -185,7 +219,12 @@ def solve_projective(src_xy: jnp.ndarray, dst_xy: jnp.ndarray,
     aw = a_mat * w2[:, None]
     ata = aw.T @ a_mat + 1e-6 * jnp.eye(8, dtype=a_mat.dtype)
     atb = aw.T @ rhs
-    hn = _solve_spd(ata, atb[:, None])[:, 0]                # [8]
+    hn_col = _solve_spd(ata, atb[:, None])                  # [8, 1]
+    # iterative refinement vs the original residual (see solve_warp)
+    for _ in range(2):
+        r = rhs[:, None] - a_mat @ hn_col
+        hn_col = hn_col + _solve_spd(ata, aw.T @ r)
+    hn = hn_col[:, 0]                                       # [8]
 
     # denormalize: H = T_dst^-1 @ Hn @ T_src, with
     # T_src: p -> (p - c_src)/s, T_dst^-1: q -> q*t + c_dst

@@ -52,7 +52,8 @@ def ref_fit(pairs_xy: np.ndarray, mode: str | None = None,
         cmd = [REFIT, path] + ([mode] if mode else [])
         out = subprocess.run(cmd, capture_output=True, text=True, env=env,
                              check=True).stdout.split()
-        return np.asarray([float(v) for v in out[:8]], np.float64)
+        coeffs = np.asarray([float(v) for v in out[:8]], np.float64)
+        return coeffs, int(out[8])
     finally:
         os.unlink(path)
 
@@ -137,12 +138,14 @@ def main():
 
         # solver parity: reference LSQ on OUR inlier set
         inl = np.asarray(inl_mask)[valid]
-        ref_lsq = ref_fit(pairs_xy[inl], mode="lsq")
+        ref_lsq, _ = ref_fit(pairs_xy[inl], mode="lsq")
         d_lsq = corner_delta(ours, ref_lsq, w_img, h_img)
 
         # consensus parity: reference RANSAC envelope on our pairs
-        ref_fits = [ref_fit(pairs_xy, seed=1700000000 + 7919 * s)
+        ref_runs = [ref_fit(pairs_xy, seed=1700000000 + 7919 * s)
                     for s in range(report["seeds"])]
+        ref_fits = [rf for rf, _ in ref_runs]
+        ref_ninl = [ni for _, ni in ref_runs]
         d_ref = [corner_delta(ours, rf, w_img, h_img) for rf in ref_fits]
         d_env = [corner_delta(a, b, w_img, h_img)
                  for i, a in enumerate(ref_fits) for b in ref_fits[i + 1:]]
@@ -151,6 +154,7 @@ def main():
             "edge": [int(src_i), int(dst_i)],
             "n_pairs": int(valid.sum()),
             "n_inliers": int(np.asarray(n_inl)),
+            "n_inliers_ref_ransac": ref_ninl,
             "corner_px_ours_vs_ref_lsq_same_inliers": round(d_lsq, 4),
             "corner_px_ours_vs_ref_ransac": [round(d, 3) for d in d_ref],
             "corner_px_ref_vs_ref_envelope": [round(d, 3) for d in d_env],
