@@ -76,18 +76,30 @@ def _update_features_by_offset(feats: Features, offset_x, offset_y) -> Features:
 def _composite_and_blend(proj_dst, result, bwd, min_x, min_y,
                          comp_hw: tuple[int, int], out_hw: tuple[int, int],
                          cfg: StitchConfig,
-                         warp_bands: tuple[int, int] | None = None):
+                         warp_bands: tuple | None = None,
+                         onehot_starts=None):
     """One fused per-edge device program: inverse warp + offset copy +
     (optional gain) + Laplacian blend + u8 truncation + crop. A single
     dispatch per edge — per-call RPC latency through the tunnel costs more
-    than the compute at these sizes. ``warp_bands`` (host-validated via
-    ops.warp.banded_warp_params) selects the gather-free banded warp."""
+    than the compute at these sizes.
+
+    ``warp_bands`` selects the warp kernel (host-validated via
+    ops.warp.plan_edge_warp): ("banded", dy, dx) or a bare (dy, dx) tuple
+    -> shift-select banded warp; ("onehot", winr, winc, d) with
+    ``onehot_starts`` -> one-hot-matmul warp (ops.pallas_warp);
+    None -> point gather."""
     from ..ops.warp import shift_image, warp_image, warp_image_banded
 
-    if warp_bands is not None:
+    if warp_bands is not None and warp_bands[0] == "onehot":
+        from ..ops.pallas_warp import warp_image_onehot
+
+        a = warp_image_onehot(proj_dst, bwd, min_x, min_y, comp_hw,
+                              onehot_starts, warp_bands[1], warp_bands[2],
+                              warp_bands[3])
+    elif warp_bands is not None:
+        bd = warp_bands[1:] if warp_bands[0] == "banded" else warp_bands
         a = warp_image_banded(proj_dst, bwd, min_x, min_y, comp_hw,
-                              warp_bands[0], warp_bands[1],
-                              model=cfg.warp_model)
+                              bd[0], bd[1], model=cfg.warp_model)
     else:
         a = warp_image(proj_dst, bwd, min_x, min_y, out_shape=comp_hw,
                        model=cfg.warp_model)
@@ -426,16 +438,20 @@ class Stitcher:
                     content_h=new_h, dtype=cfg.blend.dtype)
                 result = trunc_u8(blended[:new_h, :new_w])
             else:
-                from ..ops.warp import banded_warp_params
+                from ..ops.warp import plan_edge_warp
 
-                bands = banded_warp_params(plan[k, 9:9 + n_coef], comp_hw,
-                                           min_x, min_y,
-                                           projected[dst_i].shape[:2],
-                                           cfg.warp_model)
+                wplan = plan_edge_warp(
+                    plan[k, 9:9 + n_coef], comp_hw, min_x, min_y,
+                    projected[dst_i].shape[:2], cfg.warp_model,
+                    allow_onehot=jax.default_backend() == "tpu")
+                starts = None
+                if wplan is not None and wplan[0] == "onehot":
+                    starts = wplan[1]
+                    wplan = ("onehot",) + tuple(wplan[2:])
                 result = _composite_and_blend(
                     projected[dst_i], result, bwd,
                     jnp.float32(min_x), jnp.float32(min_y), comp_hw,
-                    (new_h, new_w), cfg, bands)
+                    (new_h, new_w), cfg, wplan, starts)
             obs.log("edge", src=src_i, dst=dst_i, canvas=(new_h, new_w))
             if plan[k, 22] > 0:
                 obs.warn("match_overflow", src=src_i, dst=dst_i,

@@ -434,6 +434,35 @@ def banded_warp_params(coeffs, out_shape, offset_x: float, offset_y: float,
     return int(by), int(bx)
 
 
+def plan_edge_warp(coeffs, out_shape, offset_x: float, offset_y: float,
+                   src_shape, model: str = "bilinear", tile: int = 128,
+                   allow_onehot: bool = True):
+    """Host planner choosing the fastest valid warp kernel for one edge.
+
+    Returns ("banded", dy, dx) when the shift-select kernel's band is small
+    (its cost grows as (dy+1)*(dx+1) masked adds per tile), otherwise
+    ("onehot", starts, winr, winc, d) for the one-hot-matmul kernel
+    (ops.pallas_warp — handles arbitrary bilinear scale; real panorama
+    edges carry x-scales far from 1 at canvas distance, which pushed the
+    band requirement to ~60 px and silently sent EVERY 1080p composite to
+    the 9 ns/px gather, RESULTS round 3), or None -> gather fallback.
+    ``allow_onehot``: pass False off-TPU (the kernel needs Mosaic)."""
+    bands = banded_warp_params(coeffs, out_shape, offset_x, offset_y,
+                               src_shape, model, tile)
+    if bands is not None and (bands[0] + 1) * (bands[1] + 1) <= 25:
+        return ("banded", bands[0], bands[1])
+    if allow_onehot:
+        from .pallas_warp import onehot_warp_params
+
+        oh = onehot_warp_params(coeffs, out_shape, offset_x, offset_y,
+                                src_shape, model)
+        if oh is not None:
+            return ("onehot",) + oh
+    if bands is not None:
+        return ("banded", bands[0], bands[1])
+    return None
+
+
 @partial(jax.jit, static_argnames=("out_shape", "dy", "dx", "tile",
                                    "model"))
 def warp_image_banded(src: jnp.ndarray, coeffs: jnp.ndarray,

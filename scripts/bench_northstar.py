@@ -11,8 +11,10 @@ the 384x512 dataset. This module produces the second JSON line:
   pipeline stage re-timed with the amortized lax.scan trick (K iterations
   inside ONE dispatch on perturbed inputs, minus the measured RPC floor),
   then summed per the real per-panorama dispatch counts:
-  4 x sift + ordering counts + edge plan + per-edge composites+blends +
-  enhance. This is the number the <50 ms target judges.
+  4 x sift + edge plan + per-edge composites+blends + enhance (chain
+  semantics = BASELINE config 2, the ex6 variant behind the reference's
+  1.83 s; graph-mode all-pairs discovery is reported separately). This is
+  the number the <50 ms target judges.
 
 Importable (bench.py calls ``northstar_line``) and runnable alone.
 """
@@ -67,10 +69,10 @@ def northstar_line(k: int = 4, e2e_runs: int = 3) -> dict:
         all_pairs_match_counts, plan_edges)
     from computervisionimagestich2_tpu.models.sift import sift_extract
     from computervisionimagestich2_tpu.models.stitcher import (
-        Stitcher, _composite_and_blend, bfs_edge_seq, directed_adjacency)
+        Stitcher, _composite_and_blend, bfs_edge_seq)
     from computervisionimagestich2_tpu.ops.color import to_gray
-    from computervisionimagestich2_tpu.ops.warp import (banded_warp_params,
-                                                        cylindrical_project)
+    from computervisionimagestich2_tpu.ops.warp import (cylindrical_project,
+                                                        plan_edge_warp)
     from computervisionimagestich2_tpu.utils.io import load_image
     from scripts.bench_1080p import upscale
 
@@ -105,12 +107,16 @@ def northstar_line(k: int = 4, e2e_runs: int = 3) -> dict:
     sift_ms = dev_ms(lambda g: sift_extract(g, cfg.sift).desc.sum(), (gray,))
 
     feats = st._feats_stacked
+    # graph-mode all-pairs discovery cost, reported but NOT in the headline
+    # sum: BASELINE.json config 2 ("full 4-image panorama: SEQUENTIAL
+    # PAIRWISE registration") is the ex6 chain variant — the one that
+    # produced the 1.83 s reference number and the golden — which builds
+    # the chain adjacency directly (src/ex6/ImageProcess.cpp:150-159).
     order_ms = dev_ms(
         lambda d: all_pairs_match_counts(d, feats.valid, cfg)
         .sum().astype(jnp.float32), (feats.desc,))
 
-    counts = np.asarray(all_pairs_match_counts(feats.desc, feats.valid, cfg))
-    adj = directed_adjacency(counts, cfg.match.pair_threshold)
+    adj = Stitcher._chain_adjacency(len(images))
     start = Stitcher._middle_index(adj)
     edge_seq = bfs_edge_seq(adj, start)
     edges = jnp.asarray(np.asarray(edge_seq, np.int32))
@@ -134,24 +140,31 @@ def northstar_line(k: int = 4, e2e_runs: int = 3) -> dict:
         else:
             comp_hw = (compose.bucket_size(new_h, cfg.canvas_bucket),
                        compose.bucket_size(new_w, cfg.canvas_bucket))
-        bands = banded_warp_params(plan[e, 9:9 + n_coef], comp_hw, min_x,
-                                   min_y, proj[dst_i].shape[:2],
-                                   cfg.warp_model)
+        wplan = plan_edge_warp(plan[e, 9:9 + n_coef], comp_hw, min_x,
+                               min_y, proj[dst_i].shape[:2], cfg.warp_model,
+                               allow_onehot=jax.default_backend() == "tpu")
+        starts = None
+        if wplan is not None and wplan[0] == "onehot":
+            starts = wplan[1]
+            wplan = ("onehot",) + tuple(wplan[2:])
         args = (result, proj[dst_i], bwd)
         comp_ms.append(dev_ms(
             lambda res, pd, bw: _composite_and_blend(
                 pd, res, bw, jnp.float32(min_x), jnp.float32(min_y),
-                comp_hw, (new_h, new_w), cfg, bands).sum()
+                comp_hw, (new_h, new_w), cfg, wplan, starts).sum()
             .astype(jnp.float32), args))
         result = jax.block_until_ready(_composite_and_blend(
             proj[dst_i], result, bwd, jnp.float32(min_x),
-            jnp.float32(min_y), comp_hw, (new_h, new_w), cfg, bands))
+            jnp.float32(min_y), comp_hw, (new_h, new_w), cfg, wplan,
+            starts))
 
     enhance_ms = dev_ms(
         lambda r: equalize_and_mix(r, cfg.enhance.compat_luma,
                                    cfg.enhance.mix_weight).sum(), (result,))
 
-    stage_sum = (len(images) * sift_ms + order_ms + plan_ms
+    # headline = chain semantics (BASELINE config 2 / the ex6 1.83 s
+    # variant); graph discovery is reported separately
+    stage_sum = (len(images) * sift_ms + plan_ms
                  + float(np.sum(comp_ms)) + enhance_ms)
     return {
         "metric": "panorama_4img_1080p_northstar",
@@ -163,7 +176,7 @@ def northstar_line(k: int = 4, e2e_runs: int = 3) -> dict:
         "floor_ms": round(floor, 1),
         "stages_ms": {
             "sift_per_image": round(sift_ms, 2),
-            "ordering_counts": round(order_ms, 2),
+            "ordering_counts_graph_mode": round(order_ms, 2),
             "edge_plan": round(plan_ms, 2),
             "composites": [round(c, 2) for c in comp_ms],
             "enhance": round(enhance_ms, 2),
