@@ -81,6 +81,19 @@ class MatchConfig:
     # choice. The Pallas kernel does not vmap — batch paths that vmap the
     # matcher (parallel/batched.py) must set "off".
     pallas: str = "auto"
+    # L1 2-NN strategy. "exact" evaluates every descriptor pair's L1 on
+    # the VPU (12.9 ms/edge at 1440x1080's honest live counts — the
+    # matcher is the pipeline's largest device cost). "l2pre" computes L2
+    # candidates on the MXU (a [NB, NA] matmul at ~2% of the VPU cost),
+    # keeps the l2pre_m nearest per query, and rescores ONLY those by
+    # exact L1 — measured to reproduce the exact ratio-test match sets
+    # bit-for-bit at m=32 on all six 1440x1080 bench directions and to
+    # differ by <=2 decisions per ~8k queries at m=8
+    # (scripts/probe_l2_prefilter.py, round 4). "auto" = l2pre on TPU,
+    # exact elsewhere. The Lowe 0.5 ratio only accepts unambiguous
+    # matches, which is why candidate-set rescoring preserves them.
+    method: str = "auto"
+    l2pre_m: int = 32             # candidates rescored per query
 
 
 @dataclasses.dataclass(frozen=True)

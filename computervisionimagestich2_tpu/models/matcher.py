@@ -25,16 +25,17 @@ from ..ops.compaction import compact_indices
 
 
 @partial(jax.jit, static_argnames=("ratio", "distance", "max_matches",
-                                   "pallas"))
+                                   "pallas", "method", "l2pre_m"))
 def match_features(feats_a: Features, feats_b: Features,
                    ratio: float = 0.5, distance: str = "l1",
                    max_matches: int = 2048,
-                   pallas: str = "auto") -> MatchPairs:
+                   pallas: str = "auto", method: str = "auto",
+                   l2pre_m: int = 32) -> MatchPairs:
     """Pairs with src = A's keypoint, dst = B's keypoint (the reference's
     ImgPair(left, right) order, ImageProcess.cpp:341)."""
     ok, idx_a = dist_ops.ratio_match(
         feats_b.desc, feats_a.desc, feats_b.valid, feats_a.valid,
-        ratio, distance, pallas)
+        ratio, distance, pallas, method, l2pre_m)
     sel, valid = compact_indices(ok, max_matches)
     src_xy = feats_a.xy[idx_a[sel]]
     dst_xy = feats_b.xy[sel]
@@ -43,11 +44,12 @@ def match_features(feats_a: Features, feats_b: Features,
 
 
 @partial(jax.jit, static_argnames=("ratio", "distance", "max_matches",
-                                   "pallas"))
+                                   "pallas", "method", "l2pre_m"))
 def match_features_bidir(feats_a: Features, feats_b: Features,
                          ratio: float = 0.5, distance: str = "l1",
                          max_matches: int = 2048,
-                         pallas: str = "auto"):
+                         pallas: str = "auto", method: str = "auto",
+                         l2pre_m: int = 32):
     """Both getImgPair directions from ONE distance evaluation.
 
     Returns (ab, ba) with ab == match_features(feats_a, feats_b, ...) and
@@ -57,7 +59,7 @@ def match_features_bidir(feats_a: Features, feats_b: Features,
     """
     okb, idx_a, oka, idx_b = dist_ops.ratio_match_bidir(
         feats_b.desc, feats_a.desc, feats_b.valid, feats_a.valid,
-        ratio, distance, pallas)
+        ratio, distance, pallas, method, l2pre_m)
 
     sel_b, valid_b = compact_indices(okb, max_matches)
     ab = MatchPairs(src_xy=feats_a.xy[idx_a[sel_b]],
@@ -70,19 +72,22 @@ def match_features_bidir(feats_a: Features, feats_b: Features,
     return ab, ba
 
 
-@partial(jax.jit, static_argnames=("ratio", "distance", "pallas"))
+@partial(jax.jit, static_argnames=("ratio", "distance", "pallas", "method",
+                                   "l2pre_m"))
 def match_count(feats_a: Features, feats_b: Features,
                 ratio: float = 0.5, distance: str = "l1",
-                pallas: str = "auto") -> jnp.ndarray:
+                pallas: str = "auto", method: str = "auto",
+                l2pre_m: int = 32) -> jnp.ndarray:
     """Number of ratio-test matches (the match-graph edge weight,
     ImageProcess.cpp:131-135)."""
     ok, _ = dist_ops.ratio_match(
         feats_b.desc, feats_a.desc, feats_b.valid, feats_a.valid,
-        ratio, distance, pallas)
+        ratio, distance, pallas, method, l2pre_m)
     return jnp.sum(ok.astype(jnp.int32))
 
 
 def match_config_call(feats_a: Features, feats_b: Features,
                       cfg: MatchConfig) -> MatchPairs:
     return match_features(feats_a, feats_b, cfg.ratio_threshold,
-                          cfg.distance, cfg.max_matches, cfg.pallas)
+                          cfg.distance, cfg.max_matches, cfg.pallas,
+                          cfg.method, cfg.l2pre_m)

@@ -94,17 +94,21 @@ def keypoint_capacity(h: int, w: int, cap_max: int) -> int:
 def total_keypoint_capacity(h: int, w: int, cap_max: int) -> int:
     """Static final feature capacity for an input of h x w pixels.
 
-    Auto (cap_max == 0) scales 1 slot / 256 px: 2048 at the app's native
-    384x512 (where it never binds), ~6.1k at 1080p (measured need ~4.5k —
-    the fixed 2048 default dropped 2.4k keypoints there, a parity break vs
-    the reference's realloc'd buffers, vl/sift.c:580-590). Rounded UP to a
-    multiple of 128: the Pallas 2-NN matcher requires lane-tile-aligned
-    descriptor counts (ops.distance gate ``shape[0] % 128 == 0``) — an
-    unaligned cap silently demotes every match to the HBM-materialized XLA
-    path."""
+    Auto (cap_max == 0) scales 1 slot / 160 px. Measured densities on the
+    upscaled Input/ bench photos: 1 keypoint / 188 px at 1440x1080 (finds
+    7.7-8.3k/image, scripts/bench_r4_probe.py round 4) — the round-3
+    1/256-px heuristic (cap 6144 there) dropped ~2k keypoints per image on
+    exactly the north-star inputs (VERDICT r3 weak #1). 1/160 px gives
+    ~17% headroom over the densest bench image (9728 slots at 1440x1080)
+    and still never binds at the app's native 384x512 (2048 minimum, finds
+    ~1.4k). The live-count-bounded matcher kernels make unused slots cost
+    ~nothing, so headroom is cheap. Rounded UP to a multiple of 128: the
+    Pallas 2-NN matcher requires lane-tile-aligned descriptor counts
+    (ops.distance gate ``shape[0] % 128 == 0``) — an unaligned cap
+    silently demotes every match to the HBM-materialized XLA path."""
     if cap_max:
         return cap_max
-    cap = max(2048, min((h * w) // 256, 16384))
+    cap = max(2048, min((h * w) // 160, 16384))
     return -(-cap // 128) * 128
 
 
@@ -129,7 +133,7 @@ def _process_octave(octave: jnp.ndarray, cfg: SiftConfig, octave_index: int):
     # truncation must be reported, never silent)
     n_cand = jnp.sum(mask.astype(jnp.int32))
     cand_dropped = jnp.maximum(n_cand - cap_cand, 0)
-    ok, x, y, sigma, lvl = sk.refine_keypoints(
+    ok, x, y, sigma, lvl, resp = sk.refine_keypoints(
         dog, coords, cvalid, w, h, cfg.peak_thresh, cfg.edge_thresh,
         cfg.s_min, cfg.s_max, xper, cfg.sigma0, cfg.n_levels)
 
@@ -153,7 +157,7 @@ def _process_octave(octave: jnp.ndarray, cfg: SiftConfig, octave_index: int):
         sel = ok & (lvl == l)
         kp_idx, kp_valid = sk.compact_indices(sel, cap_l)
         kp_dropped += jnp.maximum(jnp.sum(sel.astype(jnp.int32)) - cap_l, 0)
-        xl, yl, sl = x[kp_idx], y[kp_idx], sigma[kp_idx]
+        xl, yl, sl, rl = x[kp_idx], y[kp_idx], sigma[kp_idx], resp[kp_idx]
 
         r_ori = sk.ori_patch_radius(cfg.sigma0, cfg.n_levels, cfg.s_max, l)
         grad_l = grad[l:l + 1]
@@ -180,7 +184,7 @@ def _process_octave(octave: jnp.ndarray, cfg: SiftConfig, octave_index: int):
         cap_d = cap_l + cap_l // 2
         ka_valid = a_valid.reshape(-1)
         rep = lambda a: jnp.repeat(a, cfg.max_angles, axis=0)
-        ka_x, ka_y, ka_sigma = map(rep, (xl, yl, sl))
+        ka_x, ka_y, ka_sigma, ka_resp = map(rep, (xl, yl, sl, rl))
         ka_angle = angles.reshape(-1)
 
         r_desc = sk.desc_patch_radius(cfg.sigma0, cfg.n_levels, cfg.s_max,
@@ -218,9 +222,9 @@ def _process_octave(octave: jnp.ndarray, cfg: SiftConfig, octave_index: int):
                 db_idx, b_valid = sk.compact_indices(sel_b, cap_b)
                 desc_dropped += jnp.maximum(
                     jnp.sum(sel_b.astype(jnp.int32)) - cap_b, 0)
-                b_x, b_y, b_sigma, b_angle = (
+                b_x, b_y, b_sigma, b_angle, b_resp = (
                     ka_x[db_idx], ka_y[db_idx], ka_sigma[db_idx],
-                    ka_angle[db_idx])
+                    ka_angle[db_idx], ka_resp[db_idx])
                 mod_d = ps.pad_for_patches(grad[l, :, :, 0], r_b)
                 ang_d = ps.pad_for_patches(grad[l, :, :, 1], r_b)
                 n_b = jnp.sum(b_valid.astype(jnp.int32))[None]
@@ -230,13 +234,14 @@ def _process_octave(octave: jnp.ndarray, cfg: SiftConfig, octave_index: int):
                     cfg.n_spatial_bins / 2.0, cfg.n_spatial_bins,
                     cfg.n_desc_ori_bins)
                 results.append((desc, jnp.stack([b_x, b_y], axis=-1),
-                                b_sigma, d_ok))
+                                b_sigma, d_ok, b_resp))
         else:
             da_idx, d_valid = sk.compact_indices(ka_valid, cap_d)
             desc_dropped += jnp.maximum(
                 jnp.sum(ka_valid.astype(jnp.int32)) - cap_d, 0)
-            d_x, d_y, d_sigma, d_angle = (
-                ka_x[da_idx], ka_y[da_idx], ka_sigma[da_idx], ka_angle[da_idx])
+            d_x, d_y, d_sigma, d_angle, d_resp = (
+                ka_x[da_idx], ka_y[da_idx], ka_sigma[da_idx],
+                ka_angle[da_idx], ka_resp[da_idx])
             grad_pad2 = jnp.pad(grad_l, ((0, 0), (r_desc, r_desc),
                                          (r_desc, r_desc), (0, 0)))
             desc, d_ok = sk.descriptors(
@@ -245,14 +250,15 @@ def _process_octave(octave: jnp.ndarray, cfg: SiftConfig, octave_index: int):
                 cfg.magnif, cfg.n_spatial_bins / 2.0, cfg.n_spatial_bins,
                 cfg.n_desc_ori_bins)
             results.append((desc, jnp.stack([d_x, d_y], axis=-1), d_sigma,
-                            d_ok))
+                            d_ok, d_resp))
 
     desc = jnp.concatenate([r[0] for r in results])
     xy = jnp.concatenate([r[1] for r in results])
     sigmas = jnp.concatenate([r[2] for r in results])
     oks = jnp.concatenate([r[3] for r in results])
+    resps = jnp.concatenate([r[4] for r in results])
     stats = jnp.stack([cand_dropped, kp_dropped, desc_dropped])
-    return desc, xy, sigmas, oks, stats
+    return desc, xy, sigmas, oks, resps, stats
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -294,12 +300,21 @@ def sift_extract_stats(gray: jnp.ndarray,
     xy = jnp.concatenate([p[1] for p in per_octave])
     sigma = jnp.concatenate([p[2] for p in per_octave])
     valid = jnp.concatenate([p[3] for p in per_octave])
-    stats3 = sum(p[4] for p in per_octave)
+    resp = jnp.concatenate([p[4] for p in per_octave])
+    stats3 = sum(p[5] for p in per_octave)
 
     cap = total_keypoint_capacity(gray.shape[-2], gray.shape[-1],
                                   cfg.max_keypoints)
-    idx, out_valid = sk.compact_indices(valid, cap)
     final_dropped = jnp.maximum(jnp.sum(valid.astype(jnp.int32)) - cap, 0)
+    # response-ranked selection (VERDICT r3 ask #2b): when the cap binds,
+    # keep the CAP strongest keypoints by |DoG response| instead of the
+    # first cap in scan order (which silently biases against later
+    # octaves/rows; the reference keeps all, vl/sift.c:580-590). Output
+    # stays prefix-compacted in scan order and is bit-identical to plain
+    # compaction whenever nothing drops (ops.compaction.select_strongest).
+    from ..ops.compaction import select_strongest
+
+    idx, out_valid = select_strongest(valid, resp, cap)
     feats = Features(desc=desc[idx], xy=xy[idx], scale=sigma[idx],
                      valid=out_valid)
     return feats, jnp.concatenate([stats3, final_dropped[None]])

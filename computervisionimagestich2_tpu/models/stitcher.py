@@ -280,6 +280,25 @@ class Stitcher:
             jnp.stack(list(stats))
             if isinstance(stats, (list, tuple)) else stats))
 
+    def _matching_feats(self):
+        """Stacked features trimmed to the live prefix for the matching
+        stages. The storage capacity is sized with headroom (1/160 px,
+        models/sift.py); matching cost should scale with what was FOUND,
+        not the headroom — the l2pre candidate matmuls and the dense plan
+        scans pay the full static cap. Slices every per-image array to
+        max(live) rounded up to 512 (bucketed so at most a handful of
+        matcher shapes compile per run). Valid masks are prefix-compacted,
+        so the dropped tail is dead slots only — byte-identical results."""
+        fs = self._feats_stacked
+        if fs is None:
+            return None
+        lives = np.asarray(jnp.sum(fs.valid.astype(jnp.int32), axis=1))
+        cap = fs.desc.shape[1]
+        eff = -(-max(int(lives.max()), 512) // 512) * 512
+        if eff >= cap:
+            return fs
+        return jax.tree.map(lambda a: a[:, :eff], fs)
+
     # ------------------------------------------------------------- ordering
     def _match_graph(self, feats) -> list[list[int]]:
         """All-pairs stitchability (ImageProcess.cpp:101-137). The
@@ -292,9 +311,9 @@ class Stitcher:
         n = len(feats)
         cfg = self.config.match
         if getattr(self, "_feats_stacked", None) is not None:
+            mf = self._matching_feats()
             counts = np.asarray(all_pairs_match_counts(
-                self._feats_stacked.desc, self._feats_stacked.valid,
-                self.config))
+                mf.desc, mf.valid, self.config))
         else:
             # mixed-shape fallback: both ordered counts of a pair from ONE
             # distance evaluation (match_features_bidir), i<j only
@@ -303,7 +322,8 @@ class Stitcher:
                 for j in range(i + 1, n):
                     ij, ji = match_features_bidir(
                         feats[i], feats[j], cfg.ratio_threshold,
-                        cfg.distance, cfg.max_matches, cfg.pallas)
+                        cfg.distance, cfg.max_matches, cfg.pallas,
+                        cfg.method, cfg.l2pre_m)
                     # n_raw = uncapped ok count, same statistic as the
                     # stacked all_pairs_match_counts path
                     counts[i][j] = int(np.asarray(ij.n_raw))
@@ -405,7 +425,7 @@ class Stitcher:
         img_hw = tuple(projected[edge_seq[0][1]].shape[:2])
         start_hw = tuple(result.shape[:2])
         edges = jnp.asarray(np.asarray(edge_seq, np.int32))
-        plan = np.asarray(plan_edges(self._feats_stacked, edges, img_hw,
+        plan = np.asarray(plan_edges(self._matching_feats(), edges, img_hw,
                                      start_hw, cfg))
 
         n_coef = 9 if cfg.warp_model == "projective" else 8

@@ -73,6 +73,33 @@ def compact_indices(mask: jnp.ndarray, capacity: int):
     return jnp.where(valid, idx, 0), valid
 
 
+def select_strongest(valid: jnp.ndarray, strength: jnp.ndarray,
+                     capacity: int):
+    """Indices of the ``capacity`` strongest valid entries, in scan order.
+
+    Replacement for scan-order truncation when a static capacity binds
+    (VERDICT r3 ask #2b): scan-order keeps the FIRST ``capacity`` entries —
+    biased against whatever happens to be late in the scan (for SIFT,
+    later octaves/rows) — while this keeps the strongest by ``strength``
+    (> 0 for every valid entry), then re-sorts the kept set ascending so
+    the output is prefix-compacted in the original scan order. When
+    nothing would drop, the result is bit-identical to
+    ``compact_indices(valid, capacity)``.
+
+    Returns (idx [capacity] int32, valid [capacity] bool).
+    """
+    n = valid.shape[0]
+    if capacity >= n:
+        return compact_indices(valid, capacity)
+    s = jnp.where(valid, strength, -1.0)
+    _, top_idx = lax.top_k(s, capacity)
+    keep_valid = s[top_idx] > 0.0
+    order_key = jnp.where(keep_valid, top_idx, n)
+    idx = jnp.sort(order_key)
+    out_valid = idx < n
+    return jnp.where(out_valid, idx, 0).astype(jnp.int32), out_valid
+
+
 def compact_values(mask: jnp.ndarray, capacity: int, *arrays):
     """Compact ``arrays`` (same leading shape as mask) by a shared mask.
 

@@ -53,20 +53,72 @@ def _pallas_2nn_enabled(pallas: str) -> bool:
     return jax.default_backend() == "tpu"
 
 
-@partial(jax.jit, static_argnames=("distance", "pallas"))
+def _l2pre_enabled(method: str) -> bool:
+    if method == "l2pre":
+        return True
+    if method == "exact":
+        return False
+    return jax.default_backend() == "tpu"
+
+
+def _l1_rescore(qry, cand_desc, cand_idx, cand_ok):
+    """Exact L1 top-2 over per-query candidate sets.
+
+    qry [NQ, F]; cand_desc [NQ, M, F]; cand_idx [NQ, M] global reference
+    indices; cand_ok [NQ, M] candidate validity. Returns (d1, d2, i1)."""
+    d = jnp.sum(jnp.abs(qry[:, None, :] - cand_desc), axis=-1)
+    d = jnp.where(cand_ok, d, BIG)
+    j1 = jnp.argmin(d, axis=1)
+    d1 = jnp.min(d, axis=1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+    d2 = jnp.min(jnp.where(cols == j1[:, None], BIG, d), axis=1)
+    i1 = jnp.take_along_axis(cand_idx, j1[:, None], axis=1)[:, 0]
+    return d1, d2, i1
+
+
+def _l2pre_one_direction(qry, ref, qry_valid, ref_valid, m: int):
+    """One direction of the MXU-prefiltered L1 2-NN.
+
+    The [NQ, NR] squared-L2 matrix is one MXU matmul (~2% of the exact L1
+    kernel's VPU cost, scripts/bench_r4_probe.py); ``approx_min_k`` (the
+    TPU-native partial-reduce top-k) keeps m candidates per query, and only
+    those are rescored by exact L1 on the VPU. Match-set fidelity vs the
+    exact kernel is measured in scripts/probe_l2_prefilter.py (identical at
+    m=32 on the bench inputs) and guarded by tests/test_match_ransac.py.
+    """
+    qn = jnp.sum(qry * qry, axis=1, keepdims=True)
+    rn = jnp.sum(ref * ref, axis=1)[None, :]
+    cross = jnp.dot(qry, ref.T, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+    d2sq = jnp.maximum(qn + rn - 2.0 * cross, 0.0)
+    d2sq = jnp.where(ref_valid[None, :], d2sq, BIG)
+    m = min(m, ref.shape[0])
+    _, idx = jax.lax.approx_min_k(d2sq, m)
+    d1, d2, i1 = _l1_rescore(qry, ref[idx], idx, ref_valid[idx])
+    d1 = jnp.where(qry_valid, d1, BIG)
+    d2 = jnp.where(qry_valid, d2, BIG)
+    return d1, d2, i1
+
+
+@partial(jax.jit, static_argnames=("distance", "pallas", "method",
+                                   "l2pre_m"))
 def two_nearest(qry: jnp.ndarray, ref: jnp.ndarray,
                 qry_valid: jnp.ndarray, ref_valid: jnp.ndarray,
-                distance: str = "l1", pallas: str = "auto"):
+                distance: str = "l1", pallas: str = "auto",
+                method: str = "auto", l2pre_m: int = 32):
     """For every query descriptor, its 2 nearest reference descriptors.
 
     Returns (d1, d2, i1): nearest distance, second distance, nearest index —
     the inputs of the Lowe ratio test (ImageProcess.cpp:327-331). Invalid
     references never win; invalid queries get d1=d2=BIG.
 
-    On TPU with 128-aligned shapes this dispatches to the Pallas kernel
-    (ops.pallas_distance), which keeps the distance block in VMEM and fuses
-    the top-2; otherwise the XLA path below runs.
+    ``method`` picks the L1 strategy (config.MatchConfig.method): "l2pre"
+    = MXU candidate matmul + exact-L1 rescore; "exact" = every pair on the
+    VPU (Pallas kernel on TPU with 128-aligned shapes, XLA below
+    otherwise).
     """
+    if distance == "l1" and _l2pre_enabled(method):
+        return _l2pre_one_direction(qry, ref, qry_valid, ref_valid, l2pre_m)
     if (distance == "l1" and _pallas_2nn_enabled(pallas)
             and qry.shape[0] % 128 == 0 and ref.shape[0] % 128 == 0
             and qry.shape[1] == 128):
@@ -90,10 +142,12 @@ def two_nearest(qry: jnp.ndarray, ref: jnp.ndarray,
     return d1, d2, i1
 
 
-@partial(jax.jit, static_argnames=("distance", "pallas"))
+@partial(jax.jit, static_argnames=("distance", "pallas", "method",
+                                   "l2pre_m"))
 def two_nearest_bidir(qry: jnp.ndarray, ref: jnp.ndarray,
                       qry_valid: jnp.ndarray, ref_valid: jnp.ndarray,
-                      distance: str = "l1", pallas: str = "auto"):
+                      distance: str = "l1", pallas: str = "auto",
+                      method: str = "auto", l2pre_m: int = 32):
     """Both 2-NN directions from one distance evaluation.
 
     Returns ((d1q, d2q, i1q), (d1r, d2r, i1r)): the first tuple equals
@@ -103,8 +157,13 @@ def two_nearest_bidir(qry: jnp.ndarray, ref: jnp.ndarray,
     orientation), same first-lowest-index tie-breaks — at half the
     distance cost. The reference computes getImgPair twice per edge
     (ImageProcess.cpp:185-198); the distance matrix it rebuilds per
-    direction is shared here.
+    direction is shared here. Under method="l2pre" each direction runs the
+    MXU-prefiltered form (see two_nearest).
     """
+    if distance == "l1" and _l2pre_enabled(method):
+        fwd = _l2pre_one_direction(qry, ref, qry_valid, ref_valid, l2pre_m)
+        bwd = _l2pre_one_direction(ref, qry, ref_valid, qry_valid, l2pre_m)
+        return fwd, bwd
     if (distance == "l1" and _pallas_2nn_enabled(pallas)
             and qry.shape[0] % 128 == 0 and ref.shape[0] % 128 == 0
             and qry.shape[1] == 128):
@@ -134,34 +193,39 @@ def two_nearest_bidir(qry: jnp.ndarray, ref: jnp.ndarray,
     return fwd, bwd
 
 
-@partial(jax.jit, static_argnames=("distance", "pallas"))
+@partial(jax.jit, static_argnames=("distance", "pallas", "method",
+                                   "l2pre_m"))
 def ratio_match_bidir(qry: jnp.ndarray, ref: jnp.ndarray,
                       qry_valid: jnp.ndarray, ref_valid: jnp.ndarray,
                       ratio: float = 0.5, distance: str = "l1",
-                      pallas: str = "auto"):
+                      pallas: str = "auto", method: str = "auto",
+                      l2pre_m: int = 32):
     """Lowe ratio test in both directions from one distance evaluation.
 
     Returns (ok_q [NB], i1_q [NB], ok_r [NA], i1_r [NA]): the q pair equals
     ratio_match(qry, ref, ...), the r pair the role-swapped call.
     """
     (d1q, d2q, i1q), (d1r, d2r, i1r) = two_nearest_bidir(
-        qry, ref, qry_valid, ref_valid, distance, pallas)
+        qry, ref, qry_valid, ref_valid, distance, pallas, method, l2pre_m)
     okq = ((d1q / d2q) < ratio) & qry_valid & (d2q < BIG)
     okr = ((d1r / d2r) < ratio) & ref_valid & (d2r < BIG)
     return okq, i1q, okr, i1r
 
 
-@partial(jax.jit, static_argnames=("distance", "pallas"))
+@partial(jax.jit, static_argnames=("distance", "pallas", "method",
+                                   "l2pre_m"))
 def ratio_match(qry: jnp.ndarray, ref: jnp.ndarray,
                 qry_valid: jnp.ndarray, ref_valid: jnp.ndarray,
                 ratio: float = 0.5, distance: str = "l1",
-                pallas: str = "auto"):
+                pallas: str = "auto", method: str = "auto",
+                l2pre_m: int = 32):
     """Lowe ratio test (ImageProcess.cpp:329-331): keep queries whose
     nearest/second distance ratio is < ratio.
 
     Returns (match_mask [NB], nearest_ref_index [NB]).
     """
-    d1, d2, i1 = two_nearest(qry, ref, qry_valid, ref_valid, distance, pallas)
+    d1, d2, i1 = two_nearest(qry, ref, qry_valid, ref_valid, distance,
+                             pallas, method, l2pre_m)
     ok = (d1 / d2) < ratio
     ok = ok & qry_valid & (d2 < BIG)
     return ok, i1

@@ -214,7 +214,7 @@ def _refine_fields(dog: jnp.ndarray, w: int, h: int, peak_thresh: float,
         & (xn >= 0) & (xn <= w - 1) & (yn >= 0) & (yn <= h - 1) \
         & (sn >= s_min) & (sn <= s_max)
     sigma = sigma0 * 2.0 ** (sn / n_levels) * xper
-    return step_code, ok, xn * xper, yn * xper, sigma
+    return step_code, ok, xn * xper, yn * xper, sigma, jnp.abs(val)
 
 
 @partial(jax.jit, static_argnames=("w", "h", "peak_thresh", "edge_thresh",
@@ -231,8 +231,14 @@ def refine_keypoints(dog: jnp.ndarray, coords: jnp.ndarray, valid: jnp.ndarray,
 
     Dense fields + 5-step position chase; the chase reaches the same fixed
     point as the reference's early-break loop (re-solving at an unmoved
-    position is idempotent)."""
-    step_code, okf, xf, yf, sigmaf = _refine_fields(
+    position is idempotent).
+
+    Also returns the DoG response |val| at the refined position — the
+    strength used for response-ranked selection when a static capacity
+    binds (VLFeat keeps every accepted keypoint, vl/sift.c:580-590; when
+    our final cap must truncate, it keeps the strongest instead of the
+    first in scan order — VERDICT r3 ask #2)."""
+    step_code, okf, xf, yf, sigmaf, respf = _refine_fields(
         dog, w, h, peak_thresh, edge_thresh, s_min, s_max, xper, sigma0,
         n_levels)
     n_s, hh, ww = dog.shape
@@ -253,15 +259,15 @@ def refine_keypoints(dog: jnp.ndarray, coords: jnp.ndarray, valid: jnp.ndarray,
 
     x, y = jax.lax.fori_loop(0, 5, chase, (x, y))
     flat = base + y * ww + x
-    # ONE row gather for the whole acceptance record instead of four point
-    # gathers (ok, x, y, sigma): point gathers cost ~9 ns/ELEMENT on TPU,
-    # so fetching the packed [., 4] row quarters the tail's gather count
-    vals = jnp.stack([okf.astype(jnp.float32), xf, yf, sigmaf],
-                     axis=-1).reshape(-1, 4)
+    # ONE row gather for the whole acceptance record instead of five point
+    # gathers (ok, x, y, sigma, resp): point gathers cost ~9 ns/ELEMENT on
+    # TPU, so fetching the packed [., 5] row cuts the tail's gather count 5x
+    vals = jnp.stack([okf.astype(jnp.float32), xf, yf, sigmaf, respf],
+                     axis=-1).reshape(-1, 5)
     row = vals[flat]
     ok = (row[:, 0] > 0) & valid
     lvl = (s_dog + s_min).astype(jnp.int32)
-    return ok, row[:, 1], row[:, 2], row[:, 3], lvl
+    return ok, row[:, 1], row[:, 2], row[:, 3], lvl, row[:, 4]
 
 
 # ------------------------------------------------------------------ gradient

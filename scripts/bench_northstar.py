@@ -106,7 +106,7 @@ def northstar_line(k: int = 4, e2e_runs: int = 3) -> dict:
     gray = jax.block_until_ready(to_gray(proj[0]))
     sift_ms = dev_ms(lambda g: sift_extract(g, cfg.sift).desc.sum(), (gray,))
 
-    feats = st._feats_stacked
+    feats = st._matching_feats()
     # graph-mode all-pairs discovery cost, reported but NOT in the headline
     # sum: BASELINE.json config 2 ("full 4-image panorama: SEQUENTIAL
     # PAIRWISE registration") is the ex6 chain variant — the one that

@@ -131,7 +131,7 @@ def main():
     coords = jax.block_until_ready(coords)
 
     def refine_only(d, coords, cvalid):
-        ok, x, y, s, l = sk.refine_keypoints(
+        ok, x, y, s, l, _ = sk.refine_keypoints(
             d, coords, cvalid, w, h, cfg.peak_thresh, cfg.edge_thresh,
             cfg.s_min, cfg.s_max, 1.0, cfg.sigma0, cfg.n_levels)
         return x.sum() + y.sum()

@@ -46,3 +46,40 @@ def test_compact_values_gathers_rows():
     expect = np.asarray(vals)[np.asarray(mask)]
     np.testing.assert_allclose(np.asarray(got)[:n], expect[:64][:n])
     assert int(np.asarray(valid).sum()) == min(n, 64)
+
+
+def test_select_strongest_keeps_top_by_strength():
+    import jax.numpy as jnp
+
+    from computervisionimagestich2_tpu.ops.compaction import (
+        compact_indices, select_strongest)
+
+    rng = np.random.default_rng(7)
+    n, cap = 500, 64
+    valid = rng.random(n) < 0.7
+    strength = np.where(valid, rng.random(n).astype(np.float32) + 0.01, 0.0)
+    idx, ov = select_strongest(jnp.asarray(valid), jnp.asarray(strength), cap)
+    idx, ov = np.asarray(idx), np.asarray(ov)
+    assert ov.sum() == cap and ov.all()
+    # exactly the cap strongest valid entries
+    expected = set(np.argsort(-strength, kind="stable")[:cap].tolist())
+    assert set(idx.tolist()) == expected
+    # scan order preserved among the kept
+    assert (np.diff(idx) > 0).all()
+
+    # non-binding case: bit-identical to plain compaction
+    idx2, ov2 = select_strongest(jnp.asarray(valid), jnp.asarray(strength),
+                                 512)
+    ref_idx, ref_ov = compact_indices(jnp.asarray(valid), 512)
+    np.testing.assert_array_equal(np.asarray(idx2), np.asarray(ref_idx))
+    np.testing.assert_array_equal(np.asarray(ov2), np.asarray(ref_ov))
+
+    # binding with fewer valid than cap: prefix-compacted valid tail False
+    few_valid = np.zeros(n, bool)
+    few_valid[::20] = True
+    s = np.where(few_valid, 1.0, 0.0).astype(np.float32)
+    idx3, ov3 = select_strongest(jnp.asarray(few_valid), jnp.asarray(s), 64)
+    idx3, ov3 = np.asarray(idx3), np.asarray(ov3)
+    assert ov3.sum() == few_valid.sum()
+    assert ov3[:few_valid.sum()].all() and not ov3[few_valid.sum():].any()
+    np.testing.assert_array_equal(idx3[ov3], np.nonzero(few_valid)[0][:64])

@@ -112,3 +112,49 @@ def test_sift_omin_negative_upsampled_octave():
     # so demand 70%, not all)
     d = np.linalg.norm(xy0[:, None] - xyu[None, :], axis=-1).min(axis=1)
     assert (d <= 1.0).mean() > 0.7, (d <= 1.0).mean()
+
+
+def test_final_cap_keeps_strongest_by_response():
+    """When the total keypoint capacity binds, the kept set must be the
+    strongest-by-|DoG response| keypoints, in scan order, prefix-compacted
+    (VERDICT r3 ask #2b; VLFeat keeps every keypoint, vl/sift.c:580-590,
+    so a binding cap may only shed the weakest)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from computervisionimagestich2_tpu.config import SiftConfig
+    from computervisionimagestich2_tpu.models.sift import sift_extract_stats
+    from computervisionimagestich2_tpu.utils.io import load_image
+    from computervisionimagestich2_tpu.ops.color import to_gray
+
+    img = load_image("/root/reference/Input/1.bmp")
+    gray = to_gray(jnp.asarray(img, jnp.float32))
+    cfg_all = SiftConfig(pallas="off", max_keypoints=4096)
+    f_all, st_all = sift_extract_stats(gray, cfg_all)
+    n_all = int(np.asarray(f_all.valid.sum()))
+    assert int(np.asarray(st_all)[3]) == 0 and n_all > 300
+
+    cap = 256
+    cfg_cap = dataclasses.replace(cfg_all, max_keypoints=cap)
+    f_cap, st_cap = sift_extract_stats(gray, cfg_cap)
+    assert int(np.asarray(st_cap)[3]) == n_all - cap  # reported, not silent
+    v = np.asarray(f_cap.valid)
+    assert v.sum() == cap and v.all()  # prefix-compacted, full
+
+    # the kept keypoints must be exactly the cap strongest of the full set:
+    # every kept (x, y, scale) appears in the full run's top-cap response
+    # set. Responses aren't returned, so check via set inclusion of coords
+    # against the full run ranked by... descriptor identity: each kept
+    # descriptor row must exist in the full set (bitwise).
+    full = np.asarray(f_all.desc)[np.asarray(f_all.valid)]
+    kept = np.asarray(f_cap.desc)
+    full_rows = {r.tobytes() for r in full}
+    for r in kept:
+        assert r.tobytes() in full_rows
+    # and the kept set differs from plain scan-order truncation whenever a
+    # stronger keypoint exists past the cap: compare with the full run's
+    # first-cap rows — scan-order truncation would keep exactly those.
+    first_cap = {r.tobytes() for r in full[:cap]}
+    kept_set = {r.tobytes() for r in kept}
+    assert kept_set != first_cap
