@@ -47,6 +47,13 @@ def build_config(args):
         cfg = dataclasses.replace(
             cfg, blend=dataclasses.replace(cfg.blend,
                                            seam_band=args.seam_band))
+    if args.match_method != "auto" or args.l2pre_m:
+        mrepl = {"method": args.match_method}
+        if args.l2pre_m:
+            mrepl["l2pre_m"] = args.l2pre_m
+            mrepl["l2pre_m_counts"] = args.l2pre_m
+        cfg = dataclasses.replace(
+            cfg, match=dataclasses.replace(cfg.match, **mrepl))
     return cfg
 
 
@@ -90,6 +97,16 @@ def make_parser() -> argparse.ArgumentParser:
                         "reference's full-canvas blend (default). Pair "
                         "with --gain-compensation to absorb per-frame "
                         "exposure steps the narrow band can't hide")
+    p.add_argument("--match-method", choices=["auto", "exact", "l2pre"],
+                   default="auto",
+                   help="L1 2-NN strategy: 'exact' = every pair on the "
+                        "VPU (parity mode); 'l2pre' = MXU L2 candidate "
+                        "prefilter + exact-L1 rescore; 'auto' = l2pre on "
+                        "TPU (config.MatchConfig.method)")
+    p.add_argument("--l2pre-m", type=int, default=0, metavar="M",
+                   help="candidates rescored per query for l2pre (0 = "
+                        "config defaults: 16 edges / 8 ordering counts; "
+                        "sets BOTH when given)")
     p.add_argument("--color-transfer", action="store_true",
                    help="per-edge Reinhard color transfer of each incoming "
                         "image toward its stitch partner (the reference's "

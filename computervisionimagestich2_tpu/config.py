@@ -75,7 +75,13 @@ class MatchConfig:
     ratio_threshold: float = 0.5  # RATIO_THRESHOLD, ImageProcess.h:22
     distance: str = "l1"          # VlDistanceL1, ImageProcess.cpp:280
     pair_threshold: int = 20      # THRESHOLD (min matches to stitch), ImageProcess.h:18
-    max_matches: int = 2048       # static capacity for match pairs
+    # Static capacity for match pairs. 4096: the north-star 1440x1080
+    # runs produce up to ~2.3k ratio-test matches per direction (the old
+    # 2048 cap dropped 132-242 pairs per edge — reported via
+    # match_overflow telemetry, BENCH e2e round 4); the reference keeps
+    # every match (vector<ImgPair>). The [K, N] RANSAC inlier evaluation
+    # this sizes is trivial at either value.
+    max_matches: int = 4096
     # 2-NN backend: "auto" uses the Pallas VMEM-resident kernel
     # (ops/pallas_distance.py) on TPU, XLA elsewhere; "on"/"off" force a
     # choice. The Pallas kernel does not vmap — batch paths that vmap the
@@ -86,14 +92,26 @@ class MatchConfig:
     # matcher is the pipeline's largest device cost). "l2pre" computes L2
     # candidates on the MXU (a [NB, NA] matmul at ~2% of the VPU cost),
     # keeps the l2pre_m nearest per query, and rescores ONLY those by
-    # exact L1 — measured to reproduce the exact ratio-test match sets
-    # bit-for-bit at m=32 on all six 1440x1080 bench directions and to
-    # differ by <=2 decisions per ~8k queries at m=8
-    # (scripts/probe_l2_prefilter.py, round 4). "auto" = l2pre on TPU,
-    # exact elsewhere. The Lowe 0.5 ratio only accepts unambiguous
-    # matches, which is why candidate-set rescoring preserves them.
+    # exact L1. "auto" = l2pre on TPU, exact elsewhere. The Lowe 0.5
+    # ratio only accepts unambiguous matches, which is why candidate-set
+    # rescoring preserves them almost perfectly: measured against the
+    # exact-L1 oracle over 40 directed pairs (~300k queries; 6 north-star
+    # 1440x1080 + 34 dataset2 600x800 directions,
+    # scripts/bench_r4_probe3.py round 4), decision diffs total 2 at
+    # m=32, 5 at m=16, 8 at m=8 — and 2 of those are approx_min_k
+    # recall, present even at m=32/HIGHEST. The reference's kd-forest ANN
+    # (vl/kdtree.c) is far noisier than any of these.
     method: str = "auto"
-    l2pre_m: int = 32             # candidates rescored per query
+    # candidates rescored per query: m=16 = 4.05 ms/edge bidirectional at
+    # honest 1440x1080 caps (m=32: 8.5 ms; the rescore's candidate-row
+    # gather is the cost, linear in m). 5 total decision diffs over the
+    # 40-direction oracle sweep; "--match-method exact" for parity runs.
+    l2pre_m: int = 16
+    # the ordering stage needs only pair COUNTS vs THRESHOLD=20
+    # (ImageProcess.cpp:117-137); m=8 halves its rescore again (2.07
+    # ms/pair bidir, 8 total decision diffs over the sweep — count noise
+    # <=1 per direction, far inside the threshold margin)
+    l2pre_m_counts: int = 8
 
 
 @dataclasses.dataclass(frozen=True)
@@ -107,6 +125,13 @@ class RansacConfig:
     seed: int = 666666            # srand(666666), ImageProcess.cpp:397
     # TPU-native: hypotheses are vmapped; >= the reference's 72 sequential iters.
     n_hypotheses: int = 128
+    # Local-optimization rounds after the refit (LO-RANSAC): re-score the
+    # refit model and refit again when its consensus grew. Nearly free
+    # (one [N] reprojection + one masked solve per round) and moves edges
+    # out of smaller-consensus basins — the residual golden drift
+    # isolated in round 3 (VERDICT r3 ask #6). 0 = the reference's plain
+    # refit-and-stop behavior (ImageProcess.cpp:500-529).
+    lo_iters: int = 1
 
     @property
     def reference_iterations(self) -> int:

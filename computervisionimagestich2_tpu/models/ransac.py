@@ -27,13 +27,23 @@ from ..ops.warp import warp_points, warp_xy
 
 
 @partial(jax.jit, static_argnames=("n_hypotheses", "threshold", "n_sample",
-                                   "model"))
+                                   "model", "lo_iters"))
 def ransac_warp(pairs: MatchPairs, key: jax.Array,
                 n_hypotheses: int = 128, threshold: float = 4.0,
-                n_sample: int = 4, model: str = "bilinear"):
+                n_sample: int = 4, model: str = "bilinear",
+                lo_iters: int = 0):
     """Returns (coeffs, inlier_mask [N], n_inliers scalar). ``model`` picks
     the warp family: 'bilinear' (8 coeffs, reference behavior) or
-    'projective' (9 coeffs, normalized DLT)."""
+    'projective' (9 coeffs, normalized DLT).
+
+    ``lo_iters`` adds that many local-optimization rounds after the refit
+    (LO-RANSAC, Chum et al.): re-score the refit model over all pairs and,
+    if its consensus GREW, refit on the larger set — vectorized, so each
+    round costs one [N] reprojection + one masked solve. The reference has
+    no LO (its refit is final, ImageProcess.cpp:500-529); rounds that do
+    not grow the consensus keep the previous model bit-for-bit, so lo_iters
+    only ever moves the result toward a larger-consensus basin (the golden
+    drift isolated by scripts/parity_refit.py, VERDICT r3 ask #6)."""
     solve_fn = solve_warp if model == "bilinear" else solve_projective
     n_cap = pairs.src_xy.shape[0]
     valid_f = pairs.valid.astype(jnp.float32)
@@ -62,18 +72,35 @@ def ransac_warp(pairs: MatchPairs, key: jax.Array,
 
     best = jnp.argmax(counts)
     best_mask = inliers[best]
-    if model == "bilinear":
-        # warm-started residual refit: keeps every f32 intermediate at
-        # O(threshold) px — without it the f32 normal equations drift
-        # 1.8-3.6 px (corners) off the reference's f64 refit on the SAME
-        # inlier set (scripts/parity_refit.py, RESULTS round 3)
-        coeffs = solve_warp(pairs.src_xy, pairs.dst_xy,
-                            best_mask.astype(jnp.float32),
-                            init=coeffs_k[best])
-    else:
-        coeffs = solve_fn(pairs.src_xy, pairs.dst_xy,
-                          best_mask.astype(jnp.float32))
-    return coeffs, best_mask, counts[best]
+
+    def refit(mask, init):
+        if model == "bilinear":
+            # warm-started residual refit: keeps every f32 intermediate at
+            # O(threshold) px — without it the f32 normal equations drift
+            # 1.8-3.6 px (corners) off the reference's f64 refit on the
+            # SAME inlier set (scripts/parity_refit.py, RESULTS round 3)
+            return solve_warp(pairs.src_xy, pairs.dst_xy,
+                              mask.astype(jnp.float32), init=init)
+        return solve_fn(pairs.src_xy, pairs.dst_xy,
+                        mask.astype(jnp.float32))
+
+    def score(coeffs):
+        xw2, yw2 = warp_points(coeffs, x, y, model)
+        d = jnp.sqrt((xw2 - pairs.dst_xy[:, 0]) ** 2
+                     + (yw2 - pairs.dst_xy[:, 1]) ** 2)
+        return (d < threshold) & pairs.valid
+
+    coeffs = refit(best_mask, coeffs_k[best])
+    mask, count = best_mask, counts[best]
+    for _ in range(lo_iters):
+        mask2 = score(coeffs)
+        count2 = jnp.sum(mask2.astype(jnp.int32))
+        grow = count2 > count
+        coeffs2 = refit(mask2, coeffs)
+        coeffs = jnp.where(grow, coeffs2, coeffs)
+        mask = jnp.where(grow, mask2, mask)
+        count = jnp.maximum(count2, count)
+    return coeffs, mask, count
 
 
 def ransac_config_call(pairs: MatchPairs, cfg: RansacConfig,
@@ -82,7 +109,7 @@ def ransac_config_call(pairs: MatchPairs, cfg: RansacConfig,
         key = jax.random.PRNGKey(cfg.seed)
     key = jax.random.fold_in(key, salt)
     return ransac_warp(pairs, key, cfg.n_hypotheses, cfg.threshold,
-                       cfg.n_sample)
+                       cfg.n_sample, lo_iters=cfg.lo_iters)
 
 
 def reprojection_errors(coeffs: jnp.ndarray, pairs: MatchPairs) -> jnp.ndarray:

@@ -59,10 +59,10 @@ def register_edge(feats_src: Features, feats_dst: Features,
     key_bwd = jax.random.fold_in(key, 1)
     forward, _, _ = ransac_warp(d2s_final, key_fwd, cfg.ransac.n_hypotheses,
                                 cfg.ransac.threshold, cfg.ransac.n_sample,
-                                cfg.warp_model)
+                                cfg.warp_model, cfg.ransac.lo_iters)
     backward, _, _ = ransac_warp(s2d_final, key_bwd, cfg.ransac.n_hypotheses,
                                  cfg.ransac.threshold, cfg.ransac.n_sample,
-                                 cfg.warp_model)
+                                 cfg.warp_model, cfg.ransac.lo_iters)
     return (forward, backward, jnp.maximum(n_s2d, n_d2s),
             s2d_final.overflow())
 
@@ -218,7 +218,7 @@ def all_pairs_match_counts(desc: jnp.ndarray, valid: jnp.ndarray,
         okq, _, okr, _ = ratio_match_bidir(
             desc[j], desc[i], valid[j], valid[i],
             cfg.match.ratio_threshold, cfg.match.distance,
-            cfg.match.pallas, cfg.match.method, cfg.match.l2pre_m)
+            cfg.match.pallas, cfg.match.method, cfg.match.l2pre_m_counts)
         return carry, jnp.stack([jnp.sum(okq.astype(jnp.int32)),
                                  jnp.sum(okr.astype(jnp.int32))])
 

@@ -72,13 +72,16 @@ def build_octave(base: jnp.ndarray, cfg: SiftConfig, first_sigma: float | None):
 
 def candidate_capacity(h: int, w: int) -> int:
     """Static candidate-list capacity per octave. Strict 26-neighbor extrema
-    are sparse: measured densities across dataset1/Input2/1080p inputs top
-    out at 3.5 candidates / 1000 px (RESULTS round 3), so area/64
-    (15.6/1000) keeps >4x headroom — while the refine chase, candidate
-    compaction, and their gathers all scale with this capacity (area/16
-    made refine ~2.4x slower for zero extra candidates). Overflow drops
-    trailing candidates in scan order and is reported via telemetry."""
-    return max(1024, min((h * w) // 64, 32768))
+    are sparse: measured on the north-star 1440x1080 bench inputs
+    (scripts/bench_r4_probe4.py C1), octave-0 finds 6.2-7.3k (4.0-4.7 /
+    1000 px) and later octaves fall off ~7x per octave, so area/96
+    (10.4/1000) keeps >2.2x headroom over the densest image — while the
+    refine chase, candidate compaction, and their gathers all scale with
+    this capacity (area/16 made refine ~2.4x slower for zero extra
+    candidates; the round-3 area/64 sizing paid ~1.5x refine for unused
+    headroom). Overflow drops trailing candidates in scan order and is
+    reported via telemetry."""
+    return max(1024, min((h * w) // 96, 32768))
 
 
 def keypoint_capacity(h: int, w: int, cap_max: int) -> int:

@@ -323,7 +323,7 @@ class Stitcher:
                     ij, ji = match_features_bidir(
                         feats[i], feats[j], cfg.ratio_threshold,
                         cfg.distance, cfg.max_matches, cfg.pallas,
-                        cfg.method, cfg.l2pre_m)
+                        cfg.method, cfg.l2pre_m_counts)
                     # n_raw = uncapped ok count, same statistic as the
                     # stacked all_pairs_match_counts path
                     counts[i][j] = int(np.asarray(ij.n_raw))

@@ -76,7 +76,8 @@ def _l1_rescore(qry, cand_desc, cand_idx, cand_ok):
     return d1, d2, i1
 
 
-def _l2pre_one_direction(qry, ref, qry_valid, ref_valid, m: int):
+def _l2pre_one_direction(qry, ref, qry_valid, ref_valid, m: int,
+                         precision=None):
     """One direction of the MXU-prefiltered L1 2-NN.
 
     The [NQ, NR] squared-L2 matrix is one MXU matmul (~2% of the exact L1
@@ -85,11 +86,22 @@ def _l2pre_one_direction(qry, ref, qry_valid, ref_valid, m: int):
     those are rescored by exact L1 on the VPU. Match-set fidelity vs the
     exact kernel is measured in scripts/probe_l2_prefilter.py (identical at
     m=32 on the bench inputs) and guarded by tests/test_match_ransac.py.
+
+    ``precision`` is the SELECTION matmul's MXU precision only — the
+    rescore is exact f32 either way. None = DEFAULT (single-pass bf16):
+    measured against the exact-L1 oracle over 40 directed pairs (6
+    north-star 1440x1080 + 34 dataset2 600x800, ~300k queries,
+    scripts/bench_r4_probe3.py round 4), DEFAULT-precision selection at
+    m=32 produces exactly the same 2 total decision diffs as HIGHEST —
+    the approx_min_k partial reduce, not the matmul precision, is the
+    fidelity limiter — while costing 1/3 of the HIGHEST matmul's passes.
     """
+    if precision is None:
+        precision = jax.lax.Precision.DEFAULT
     qn = jnp.sum(qry * qry, axis=1, keepdims=True)
     rn = jnp.sum(ref * ref, axis=1)[None, :]
     cross = jnp.dot(qry, ref.T, preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)
+                    precision=precision)
     d2sq = jnp.maximum(qn + rn - 2.0 * cross, 0.0)
     d2sq = jnp.where(ref_valid[None, :], d2sq, BIG)
     m = min(m, ref.shape[0])

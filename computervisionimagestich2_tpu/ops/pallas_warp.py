@@ -74,15 +74,29 @@ def onehot_warp_params(coeffs, out_shape, offset_x: float, offset_y: float,
     xw = c[0] * xs + c[1] * ys + c[2] * xs * ys + c[3]
     yw = c[4] * xs + c[5] * ys + c[6] * xs * ys + c[7]
     # trunc with 1 px slack each side for f32-vs-f64 evaluation drift
-    nx_lo = np.clip(np.trunc(xw).min(-1) - 1, 0, src_w - 1)
-    nx_hi = np.clip(np.trunc(xw).max(-1) + 1, 0, src_w - 1)
-    ny_lo = np.clip(np.trunc(yw).min(-1) - 1, 0, src_h - 1)
-    ny_hi = np.clip(np.trunc(yw).max(-1) + 1, 0, src_h - 1)
+    # (un-clipped extrema first: they also decide per-tile LIVENESS — a
+    # tile whose whole source window misses the image produces only zeros,
+    # so the kernel skips its DMA and matmuls; at panorama canvases the
+    # incoming image covers a minority of tiles)
+    tx_lo = np.trunc(xw).min(-1) - 1
+    tx_hi = np.trunc(xw).max(-1) + 1
+    ty_lo = np.trunc(yw).min(-1) - 1
+    ty_hi = np.trunc(yw).max(-1) + 1
+    live = ((tx_hi >= 0) & (tx_lo <= src_w - 1)
+            & (ty_hi >= 0) & (ty_lo <= src_h - 1))
+    nx_lo = np.clip(tx_lo, 0, src_w - 1)
+    nx_hi = np.clip(tx_hi, 0, src_w - 1)
+    ny_lo = np.clip(ty_lo, 0, src_h - 1)
+    ny_hi = np.clip(ty_hi, 0, src_h - 1)
 
     sy = (ny_lo.astype(np.int64) >> 3) << 3            # sublane-aligned
     sx = (nx_lo.astype(np.int64) >> 7) << 7            # lane-aligned
-    winr = int(np.max(ny_hi - sy)) + 1
-    winc = int(np.max(nx_hi - sx)) + 1
+    # window bounds from LIVE tiles only (dead tiles never slice)
+    if live.any():
+        winr = int(np.max((ny_hi - sy)[live])) + 1
+        winc = int(np.max((nx_hi - sx)[live])) + 1
+    else:
+        winr = winc = 1
     winr = -(-winr // 8) * 8
     winc = -(-winc // 128) * 128
     if winc > max_winc:
@@ -95,14 +109,17 @@ def onehot_warp_params(coeffs, out_shape, offset_x: float, offset_y: float,
     xs_r = xs[..., :2]
     yw_row0 = c[4] * xs_r + c[5] * ys_r + c[6] * xs_r * ys_r + c[7]
     row_spread = np.abs(np.trunc(yw_row0[..., 0]) - np.trunc(yw_row0[..., 1]))
-    d = int(row_spread.max()) + 2                       # + trunc/f32 slack
+    d = int(row_spread[live].max() if live.any() else 0.0) + 2  # + slack
     if d > max_d:
         return None
 
-    # one packed int32 per tile: (sy << 16) | sx — a [T, 2] scalar-prefetch
-    # operand gets tile-padded past the 1 MB SMEM budget at panorama canvas
-    # tile counts; the packed form is a flat [T] vector
-    starts = ((sy.astype(np.int32) << 16) | sx.astype(np.int32)).reshape(-1)
+    # one packed int32 per tile: (sy << 16) | sx | live — sx is lane-
+    # aligned so its low 7 bits are free; bit 0 carries the tile's
+    # liveness. (A [T, 2] scalar-prefetch operand gets tile-padded past
+    # the 1 MB SMEM budget at panorama canvas tile counts; the packed
+    # form is a flat [T] vector.)
+    starts = ((sy.astype(np.int32) << 16) | sx.astype(np.int32)
+              | live.astype(np.int32)).reshape(-1)
     return jnp.asarray(starts), winr, winc, d
 
 
@@ -113,55 +130,71 @@ def _kernel(starts_ref, par_ref, src_hbm, out_ref, win, sems, *,
 
     def copy(tt, slot):
         sy = pl.multiple_of(starts_ref[tt] >> 16, 8)
-        sx = pl.multiple_of(starts_ref[tt] & 0xFFFF, 128)
+        sx = pl.multiple_of(starts_ref[tt] & 0xFF80, 128)
         return pltpu.make_async_copy(
             src_hbm.at[:, pl.ds(sy, winr), pl.ds(sx, winc)],
             win.at[slot], sems.at[slot])
 
-    @pl.when(t == 0)
+    def live(tt):
+        return (starts_ref[tt] & 1) == 1
+
+    # dead tiles (source window wholly off-image) skip DMA and matmuls and
+    # only write zeros — at panorama canvases the incoming image covers a
+    # minority of tiles, so most steps take this ~free path
+    @pl.when((t == 0) & live(0))
     def _():
         copy(0, 0).start()
 
-    # start next tile's window copy (overlaps this tile's compute)
+    # start next tile's window copy (overlaps this tile's compute); the
+    # liveness read of t+1 happens only under the bounds guard
     @pl.when(t + 1 < n_tiles)
     def _():
-        copy(t + 1, (t + 1) % 2).start()
+        @pl.when(live(t + 1))
+        def _():
+            copy(t + 1, (t + 1) % 2).start()
 
-    copy(t, t % 2).wait()
+    @pl.when(~live(t))
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
 
-    # exact warp_image math: f32 iota + offset, warp_xy op order, trunc
-    ti = t // ntj
-    tj = t - ti * ntj
-    rows = jax.lax.broadcasted_iota(jnp.int32, (_TR, _TC), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (_TR, _TC), 1)
-    ys = (rows + ti * _TR).astype(jnp.float32) + par_ref[0, 9]
-    xs = (cols + tj * _TC).astype(jnp.float32) + par_ref[0, 8]
-    c = [par_ref[0, k] for k in range(8)]
-    xw = c[0] * xs + c[1] * ys + c[2] * xs * ys + c[3]
-    yw = c[4] * xs + c[5] * ys + c[6] * xs * ys + c[7]
-    nx = jnp.trunc(xw).astype(jnp.int32)
-    ny = jnp.trunc(yw).astype(jnp.int32)
-    valid = (nx >= 0) & (nx < src_w) & (ny >= 0) & (ny < src_h)
-    nyr = ny - (starts_ref[t] >> 16)
-    nxr = nx - (starts_ref[t] & 0xFFFF)
+    @pl.when(live(t))
+    def _():
+        copy(t, t % 2).wait()
 
-    kio = jax.lax.broadcasted_iota(jnp.int32, (winc, _TC), 0)
-    slot = t % 2
-    for r in range(_TR):
-        vr = valid[r]                                   # [TC]
-        # row base among the d candidate source rows (valid lanes only)
-        base = jnp.min(jnp.where(vr, nyr[r], jnp.int32(winr)))
-        base = jnp.clip(base, 0, winr - d)
-        acc = jnp.zeros((nch, _TC), jnp.float32)
-        for dd in range(d):
-            sel = vr & (nyr[r] == base + dd)            # [TC]
-            oh = ((kio == nxr[r][None, :]) & sel[None, :]).astype(jnp.float32)
-            # dynamic sublane read of the candidate source row
-            wrow = win[slot, :, pl.ds(base + dd, 1), :][:, 0, :]  # [C, winc]
-            acc = acc + jax.lax.dot_general(
-                wrow, oh, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-        out_ref[:, r, :] = acc
+        # exact warp_image math: f32 iota + offset, warp_xy ops, trunc
+        ti = t // ntj
+        tj = t - ti * ntj
+        rows = jax.lax.broadcasted_iota(jnp.int32, (_TR, _TC), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (_TR, _TC), 1)
+        ys = (rows + ti * _TR).astype(jnp.float32) + par_ref[0, 9]
+        xs = (cols + tj * _TC).astype(jnp.float32) + par_ref[0, 8]
+        c = [par_ref[0, k] for k in range(8)]
+        xw = c[0] * xs + c[1] * ys + c[2] * xs * ys + c[3]
+        yw = c[4] * xs + c[5] * ys + c[6] * xs * ys + c[7]
+        nx = jnp.trunc(xw).astype(jnp.int32)
+        ny = jnp.trunc(yw).astype(jnp.int32)
+        valid = (nx >= 0) & (nx < src_w) & (ny >= 0) & (ny < src_h)
+        nyr = ny - (starts_ref[t] >> 16)
+        nxr = nx - (starts_ref[t] & 0xFF80)
+
+        kio = jax.lax.broadcasted_iota(jnp.int32, (winc, _TC), 0)
+        slot = t % 2
+        for r in range(_TR):
+            vr = valid[r]                               # [TC]
+            # row base among the d candidate source rows (valid lanes only)
+            base = jnp.min(jnp.where(vr, nyr[r], jnp.int32(winr)))
+            base = jnp.clip(base, 0, winr - d)
+            acc = jnp.zeros((nch, _TC), jnp.float32)
+            for dd in range(d):
+                sel = vr & (nyr[r] == base + dd)        # [TC]
+                oh = ((kio == nxr[r][None, :])
+                      & sel[None, :]).astype(jnp.float32)
+                # dynamic sublane read of the candidate source row
+                wrow = win[slot, :, pl.ds(base + dd, 1), :][:, 0, :]
+                acc = acc + jax.lax.dot_general(
+                    wrow, oh, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            out_ref[:, r, :] = acc
 
 
 @functools.partial(jax.jit, static_argnames=("out_shape", "winr", "winc",

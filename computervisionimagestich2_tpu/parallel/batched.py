@@ -39,7 +39,8 @@ def _register_one(gray_a: jnp.ndarray, gray_b: jnp.ndarray,
     key = jax.random.PRNGKey(cfg.ransac.seed)
     coeffs, _, n_inliers = ransac_warp(pairs, key, cfg.ransac.n_hypotheses,
                                        cfg.ransac.threshold,
-                                       cfg.ransac.n_sample)
+                                       cfg.ransac.n_sample,
+                                       lo_iters=cfg.ransac.lo_iters)
     return coeffs, n_inliers
 
 

@@ -142,7 +142,7 @@ def main():
 
     # per-octave totals: run _process_octave per octave alone
     def proc_oct(o_arr, o_idx):
-        d, xy, s, okk, st = ms._process_octave(o_arr, cfg, o_idx)
+        d = ms._process_octave(o_arr, cfg, o_idx)[0]
         return d.sum()
     base = gray
     for o in range(cfg.n_octaves):

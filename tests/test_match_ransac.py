@@ -1,5 +1,6 @@
 """Tests for exact matching and vmapped RANSAC."""
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from computervisionimagestich2_tpu.core.types import Features, MatchPairs
@@ -118,3 +119,32 @@ def test_l2pre_respects_validity(rng):
     qv = np.ones(64, bool)
     d1, d2, i1 = D.two_nearest(q, r, qv, rv, "l1", "off", "l2pre", 16)
     assert np.all(np.asarray(i1) < 8)
+
+
+def test_ransac_lo_never_shrinks_consensus(rng):
+    """lo_iters rounds keep the model bit-for-bit when consensus does not
+    grow and can only grow it otherwise (models/ransac.py LO-RANSAC)."""
+    import jax
+
+    from computervisionimagestich2_tpu.core.types import MatchPairs
+
+    n = 256
+    src = rng.uniform(0, 200, (n, 2)).astype(np.float32)
+    coeffs_true = np.asarray([1.02, 0.03, 1e-5, 4.0,
+                              -0.02, 0.98, -1e-5, 7.0], np.float32)
+    x, y = src[:, 0], src[:, 1]
+    dst = np.stack([coeffs_true[0] * x + coeffs_true[1] * y
+                    + coeffs_true[2] * x * y + coeffs_true[3],
+                    coeffs_true[4] * x + coeffs_true[5] * y
+                    + coeffs_true[6] * x * y + coeffs_true[7]], axis=-1)
+    dst += rng.normal(0, 1.2, dst.shape)          # inlier noise ~ threshold
+    out = rng.random(n) < 0.3                     # 30% gross outliers
+    dst[out] += rng.uniform(30, 90, (int(out.sum()), 2))
+    pairs = MatchPairs(src_xy=jnp.asarray(src), dst_xy=jnp.asarray(dst),
+                       valid=jnp.ones(n, bool), n_raw=jnp.int32(n))
+    key = jax.random.PRNGKey(3)
+    c0, m0, k0 = ransac_warp(pairs, key, 64, 4.0, 4, "bilinear", 0)
+    c1, m1, k1 = ransac_warp(pairs, key, 64, 4.0, 4, "bilinear", 2)
+    assert int(k1) >= int(k0)
+    if int(k1) == int(k0):
+        np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
