@@ -216,9 +216,13 @@ def _process_octave(octave: jnp.ndarray, cfg: SiftConfig, octave_index: int):
             if r_small < r_desc:
                 # sn concentrates near the level center (|b_s| ~ 0): the
                 # high bucket measured <= 7 keypoints vs ~2000 low at 1080p
+                # — but cap_l//8 bound at 600x800 (dataset3 image 10,
+                # round 4: 15 dropped descriptors, telemetry); //4 keeps
+                # ~2x that margin and dead slots cost ~nothing in the
+                # live-count walk
                 buckets = [(r_small, ka_valid & (wr_kp <= r_small), cap_l),
                            (r_desc, ka_valid & (wr_kp > r_small),
-                            max(128, cap_l // 8))]
+                            max(128, cap_l // 4))]
             else:
                 buckets = [(r_desc, ka_valid, cap_d)]
             for r_b, sel_b, cap_b in buckets:

@@ -70,6 +70,7 @@ def test_two_image_panorama_graph_ordering(rng):
     assert out.shape[1] > 150
 
 
+@pytest.mark.slow  # 30s full-pipeline compile via the compat ctor
 def test_compat_api(tmp_path, rng):
     from computervisionimagestich2_tpu.api import (
         ImageProcess, Projection, equalization, transfer)
@@ -100,6 +101,7 @@ def test_compat_api(tmp_path, rng):
     assert tr.shape == left.shape
 
 
+@pytest.mark.slow  # 23s; single-image edge case
 def test_single_image_stitch(rng):
     """n == 1: the graph path has no pairs (regression:
     all_pairs_match_counts crashed scanning the empty pair list)."""
@@ -292,6 +294,7 @@ def test_color_transfer_edge_option(rng, planned):
     assert halves_gap(out_xfer) < halves_gap(out_plain)
 
 
+@pytest.mark.slow  # 32s full-pipeline compile; enhance flag also covered by CLI tests
 def test_no_enhance_skips_equalization(rng):
     """EnhanceConfig.enabled=False returns the blended canvas without the
     equalization/luma-mix tail (the CLI's --no-enhance)."""

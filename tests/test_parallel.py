@@ -94,6 +94,7 @@ def test_sharded_composite_and_blend_matches_single_device(rng):
     np.testing.assert_allclose(got, expect, atol=2e-3)
 
 
+@pytest.mark.slow  # 15s; f32 sharded-blend equality stays quick
 def test_sharded_blend_bf16_matches_single_device_bf16(rng):
     """dtype='bf16' must behave the same sharded as on one device (the
     config knob can't silently mean f32 on the multi-chip path)."""

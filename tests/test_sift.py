@@ -75,6 +75,7 @@ def test_sift_order_matches_scan_order():
     assert len(xy) > 0
 
 
+@pytest.mark.slow  # 18s full sift compile; zero-keypoint guard
 def test_sift_empty_image():
     img = np.zeros((32, 32), np.float32)
     cfg = SiftConfig(n_octaves=2, max_keypoints_per_octave=128,
@@ -114,6 +115,7 @@ def test_sift_omin_negative_upsampled_octave():
     assert (d <= 1.0).mean() > 0.7, (d <= 1.0).mean()
 
 
+@pytest.mark.slow  # 85s: two full-image CPU sift compiles; select_strongest logic is quick-covered in test_compaction
 def test_final_cap_keeps_strongest_by_response():
     """When the total keypoint capacity binds, the kept set must be the
     strongest-by-|DoG response| keypoints, in scan order, prefix-compacted

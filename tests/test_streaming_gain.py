@@ -219,6 +219,7 @@ def test_streaming_real_photos_reanchoring_bounds_drift():
     assert ss.n_keyframe_switches >= 1      # re-anchoring actually ran
 
 
+@pytest.mark.slow  # 48s; rolling-window path
 def test_streaming_rolling_window(rng):
     scene = make_scene(rng, h=140, w=420)
     frames = [scene[:, i * 60: i * 60 + 140] for i in range(5)]

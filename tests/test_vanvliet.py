@@ -70,6 +70,7 @@ def test_axis_matches_cimg_loop():
     np.testing.assert_allclose(got, expect, atol=0.05)
 
 
+@pytest.mark.slow  # 20s; non-default blur_impl parity, core axis parity stays quick
 def test_blur_2d_separable_order():
     rng = np.random.default_rng(4)
     img = rng.uniform(0, 255, (40, 56))
@@ -102,6 +103,7 @@ def test_short_axes_match_cimg_loop():
                                    err_msg=f"n={n}")
 
 
+@pytest.mark.slow  # 14s; non-default blur_impl edge case
 def test_blur_2d_skips_size1_axes():
     """get_blur skips size-1 axes (CImg.h:35115-35116): a [1, W] image is
     blurred along W only, a [H, 1] along H only."""
