@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.gaussian import gaussian_blur, vanvliet_blur
-from ..ops.resize import cimg_resize
+from ..ops.resize import blur_shrink_hwc, cimg_resize
 
 
 def _blur_hwc(img: jnp.ndarray, sigma: float,
@@ -125,7 +125,7 @@ def blend_stacked(s0: jnp.ndarray, levels: int,
     in smooth gradients (opt-in speed mode; f32 is the parity default).
     FIR blur only."""
     if dtype == "bf16":
-        if blur_impl != "fir":
+        if blur_impl not in ("fir", "fir_fused"):
             raise ValueError("dtype='bf16' supports blur_impl='fir' only")
         s0 = s0.astype(jnp.bfloat16)
     elif dtype != "f32":
@@ -141,8 +141,21 @@ def blend_stacked(s0: jnp.ndarray, levels: int,
         # resize to 0 — sane clamp instead)
         hp = max(s_pyr[-1].shape[0] // 2, 1)
         wp = max(s_pyr[-1].shape[1] // 2, 1)
-        s_pyr.append(cimg_resize(_blur_hwc(s_pyr[-1], blur_sigma, blur_impl),
-                                 hp, wp))
+        if blur_impl == "fir_fused":
+            # fused FIR-blur + half-shrink stencil (ops.resize): identical
+            # values modulo float reassociation and ~half the multiply-
+            # adds — but MEASURED SLOWER than the unfused pair on real
+            # blend canvases (+3.2-3.5 ms/edge at north-star scale even
+            # after the phase-decomposition fix; XLA fuses the unfused
+            # blur+strided-shrink chain better than the composite
+            # stencil). Kept as an opt-in for the record
+            # (scripts/bench_r4_probe6.py, RESULTS round 4b).
+            s_pyr.append(blur_shrink_hwc(s_pyr[-1], hp, wp, blur_sigma))
+        else:
+            s_pyr.append(cimg_resize(
+                _blur_hwc(s_pyr[-1], blur_sigma,
+                          "fir" if blur_impl == "fir" else blur_impl),
+                hp, wp))
 
     # -- laplacians (cpp:727-733) + masked lerp per level (cpp:744-753)
     blend_pyr = []

@@ -131,10 +131,20 @@ def plan_edges(feats_stacked: Features, edges: jnp.ndarray,
         return jnp.pad(c, (0, 9 - c.shape[0]))
 
     def body(carry, edge):
-        feats, cur_w, cur_h = carry
+        # only xy is carried: desc/scale/valid never change across edges,
+        # so they stay scan CONSTANTS — carrying the whole Features made
+        # every .at[].set rewrite the [N, CAP, 128] descriptor block twice
+        # per edge for no reason
+        xy_all, cur_w, cur_h = carry
         src, dst, pre = edge[0], edge[1], edge[2]
-        f_src = jax.tree.map(lambda a: a[src], feats)
-        f_dst = jax.tree.map(lambda a: a[dst], feats)
+
+        def at_img(i):
+            return Features(desc=feats_stacked.desc[i], xy=xy_all[i],
+                            scale=feats_stacked.scale[i],
+                            valid=feats_stacked.valid[i])
+
+        f_src = at_img(src)
+        f_dst = at_img(dst)
         # (src, dst) is unique per edge -> distinct RANSAC draws per edge
         fwd, bwd, _, ovf = register_edge(f_src, f_dst, cfg,
                                          src * 65536 + dst)
@@ -142,17 +152,18 @@ def plan_edges(feats_stacked: Features, edges: jnp.ndarray,
             fwd, w_img, h_img, cur_w, cur_h, cfg.warp_model)
         f_dst = update_features_by_warp(f_dst, fwd, min_x, min_y,
                                         cfg.warp_model)
-        feats = jax.tree.map(lambda a, n: a.at[dst].set(n), feats, f_dst)
-        f_pre = jax.tree.map(lambda a: a[pre], feats)
-        f_pre = update_features_by_offset(f_pre, jnp.trunc(min_x),
-                                          jnp.trunc(min_y))
-        feats = jax.tree.map(lambda a, n: a.at[pre].set(n), feats, f_pre)
+        xy_all = xy_all.at[dst].set(f_dst.xy)
+        # updateFeaturesByOffset on pre (int-truncated mins, cpp:227)
+        xy_pre = xy_all[pre] - jnp.stack([jnp.trunc(min_x),
+                                          jnp.trunc(min_y)])[None, :]
+        xy_all = xy_all.at[pre].set(xy_pre)
         row = jnp.concatenate([pad9(fwd), pad9(bwd),
                                jnp.stack([min_x, min_y, new_w, new_h,
                                           ovf.astype(jnp.float32)])])
-        return (feats, new_w, new_h), row
+        return (xy_all, new_w, new_h), row
 
-    init = (feats_stacked, jnp.float32(start_hw[1]), jnp.float32(start_hw[0]))
+    init = (feats_stacked.xy, jnp.float32(start_hw[1]),
+            jnp.float32(start_hw[0]))
     _, rows = jax.lax.scan(body, init, edges)
     return rows
 

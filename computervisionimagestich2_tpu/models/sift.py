@@ -33,8 +33,11 @@ from ..ops.resize import vlfeat_downsample, vlfeat_upsample_rows
 
 
 def _pallas_enabled(cfg: SiftConfig) -> bool:
-    """Trace-time backend choice for the per-keypoint stages."""
-    if cfg.pallas == "on":
+    """Trace-time backend choice for the per-keypoint stages.
+    "interpret" runs the Pallas walks (and the bucket dispatch around
+    them) through the interpreter — CPU-testable coverage of the exact
+    TPU code path."""
+    if cfg.pallas in ("on", "interpret"):
         return True
     if cfg.pallas == "off":
         return False
@@ -115,6 +118,66 @@ def total_keypoint_capacity(h: int, w: int, cap_max: int) -> int:
     return -(-cap // 128) * 128
 
 
+def _sigma_for_sn(cfg: SiftConfig, sn: float) -> float:
+    return cfg.sigma0 * 2.0 ** (min(float(cfg.s_max), sn) / cfg.n_levels)
+
+
+def _desc_radius_for_sn(cfg: SiftConfig, sn: float) -> int:
+    sbp = cfg.magnif * _sigma_for_sn(cfg, sn)
+    return int(math.floor(
+        math.sqrt(2.0) * sbp * (cfg.n_spatial_bins + 1) / 2.0 + 0.5))
+
+
+def _ori_radius_for_sn(cfg: SiftConfig, sn: float) -> int:
+    # W = floor(3 * 1.5 * sigma), vl/sift.c:934
+    return max(int(math.floor(3.0 * 1.5 * _sigma_for_sn(cfg, sn))), 1)
+
+
+def _walk_buckets(cfg: SiftConfig, l: int, radius_for_sn, r_max: int):
+    """Small-radius walk buckets for level ``l``: [(radius, sn_hi), ...]
+    ascending, radii < r_max (the level's catch-all).
+
+    The per-keypoint walk cost is rows(P)/pack(P) (ops/pallas_sift) and a
+    level's keypoints concentrate at |b_s| <= 0.5 after the refine chase
+    (sn = l + b_s; the catch-all covers the |b_s| < 1.5 acceptance tail,
+    vl/sift.c:529-531) — so walking everything at the level's worst-case
+    radius pays up to ~2x per keypoint. Candidate radii are taken at sn
+    quantiles and deduped to one (largest) radius per (rows, pack) cost
+    class; membership is by each keypoint's OWN window radius wr (the
+    kernel's wr bound), so a keypoint never lands in a bucket that would
+    truncate its window."""
+    from ..ops import pallas_sift as ps
+
+    def cost(r: int) -> float:
+        p = 2 * r + 1
+        return ps._rows(p) / ps._pack(p)
+
+    cands = []
+    for q in (-0.25, 0.0, 0.25, 0.5):
+        r = radius_for_sn(cfg, l + q)
+        if r < r_max:
+            cands.append((r, l + q))
+    # each extra bucket costs a compaction + padded-plane pair + (for ori)
+    # a scatter-back — keep a candidate only if it beats the next kept
+    # bucket by >= 15% per keypoint
+    kept, above = [], cost(r_max)
+    for r, sn in sorted(set(cands), reverse=True):
+        if cost(r) <= 0.85 * above:
+            kept.append((r, sn))
+            above = cost(r)
+    return sorted(kept)
+
+
+def _bucket_cap(cap_l: int, sn_lo: float, sn_hi: float, l: int) -> int:
+    """Static capacity for a walk bucket covering sn in (sn_lo, sn_hi]:
+    the uniform-b_s expectation of the population fraction plus a 30%
+    absolute margin (live-count-bounded walks make dead slots ~free;
+    overflow is telemetry-reported, never silent)."""
+    frac_hi = min(max(sn_hi - (l - 0.5), 0.0), 1.0)
+    frac_lo = min(max(sn_lo - (l - 0.5), 0.0), 1.0)
+    return max(128, int(math.ceil(cap_l * (frac_hi - frac_lo + 0.30))))
+
+
 @partial(jax.jit, static_argnames=("cfg", "octave_index"))
 def _process_octave(octave: jnp.ndarray, cfg: SiftConfig, octave_index: int):
     """Detect + refine + orient + describe all keypoints of one octave.
@@ -126,8 +189,6 @@ def _process_octave(octave: jnp.ndarray, cfg: SiftConfig, octave_index: int):
     xper = float(2 ** octave_index)
     cap_cand = candidate_capacity(h, w)
     cap_kp = keypoint_capacity(h, w, cfg.max_keypoints_per_octave)
-    # orientation expansion averages ~1.1 angles/keypoint; 1.5x headroom
-    cap_desc = cap_kp + cap_kp // 2
 
     dog = sk.dog_stack(octave)
     mask = sk.extrema_mask(dog, cfg.peak_thresh)
@@ -152,6 +213,7 @@ def _process_octave(octave: jnp.ndarray, cfg: SiftConfig, octave_index: int):
     def cap_level(l: int) -> int:
         return max(128, (2 * cap_kp) // ((cfg.n_levels + 1) * (2 if l else 1)))
     use_pallas = _pallas_enabled(cfg)
+    interp = cfg.pallas == "interpret"
     results = []
     kp_dropped = jnp.int32(0)
     desc_dropped = jnp.int32(0)
@@ -167,12 +229,60 @@ def _process_octave(octave: jnp.ndarray, cfg: SiftConfig, octave_index: int):
         if use_pallas and 2 * r_ori + 1 <= 128:
             from ..ops import pallas_sift as ps
 
-            mod_o = ps.pad_for_patches(grad[l, :, :, 0], r_ori)
-            ang_o = ps.pad_for_patches(grad[l, :, :, 1], r_ori)
-            n_l = jnp.sum(kp_valid.astype(jnp.int32))[None]
-            hist, o_ok = ps.orientation_hist_pallas(
-                mod_o, ang_o, xl / xper, yl / xper, sl / xper, n_l,
-                w, h, r_ori, cfg.n_ori_bins)
+            # wr BUCKETS (round 4): walk each keypoint near ITS window
+            # radius wr = max(floor(3*1.5*sigma), 1) (vl/sift.c:934-940)
+            # instead of the level's |b_s| < 1.5 worst case. The level's
+            # keypoint list is BUCKET-SORTED (stable argsort on the wr
+            # class; invalid slots sort last), each bucket walks a
+            # dynamic-slice window of the sorted arrays, and the per-
+            # bucket outputs — zero beyond each bucket's live count —
+            # reassemble by roll-and-add (a scatter-back variant measured
+            # ~1 ms/level slower: TPU row scatters serialize,
+            # scripts/bench_r4_probe6.py round 4). Downstream stages use
+            # the sorted order; within-level order is free to change
+            # (the final response-ranked selection re-sorts globally).
+            osegs = _walk_buckets(cfg, l, _ori_radius_for_sn, r_ori)
+            radii = [r for r, _ in osegs] + [r_ori]
+            if len(radii) > 1:
+                wr_o = jnp.maximum(jnp.floor(4.5 * sl / xper), 1.0)
+                bid = sum(((wr_o > r).astype(jnp.int32)
+                           for r in radii[:-1]), jnp.zeros((), jnp.int32))
+                bid = jnp.where(kp_valid, bid, jnp.int32(len(radii)))
+                iota = jnp.arange(cap_l, dtype=jnp.int32)
+                order = jnp.argsort(bid * jnp.int32(cap_l + 1) + iota)
+                xl, yl, sl, rl = (xl[order], yl[order], sl[order],
+                                  rl[order])
+                kp_valid = kp_valid[order]
+                bid_s = bid[order]
+                counts = jnp.stack(
+                    [jnp.sum((bid_s == i).astype(jnp.int32))
+                     for i in range(len(radii))])
+                starts = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                                          jnp.cumsum(counts)[:-1]])
+                pads = [jnp.pad(a, (0, cap_l)) for a in (xl, yl, sl)]
+                hist, o_ok = None, None
+                for b, r_b in enumerate(radii):
+                    st = starts[b]
+                    xb, yb, sb = (jax.lax.dynamic_slice(a, (st,), (cap_l,))
+                                  for a in pads)
+                    mod_o = ps.pad_for_patches(grad[l, :, :, 0], r_b)
+                    ang_o = ps.pad_for_patches(grad[l, :, :, 1], r_b)
+                    hb, gb = ps.orientation_hist_pallas(
+                        mod_o, ang_o, xb / xper, yb / xper, sb / xper,
+                        counts[b][None], w, h, r_b, cfg.n_ori_bins,
+                        interpret=interp)
+                    ob = gb & (iota < counts[b])
+                    hb = jnp.roll(hb, st, axis=0)
+                    ob = jnp.roll(ob, st)
+                    hist = hb if hist is None else hist + hb
+                    o_ok = ob if o_ok is None else o_ok | ob
+            else:
+                mod_o = ps.pad_for_patches(grad[l, :, :, 0], r_ori)
+                ang_o = ps.pad_for_patches(grad[l, :, :, 1], r_ori)
+                n_l = jnp.sum(kp_valid.astype(jnp.int32))[None]
+                hist, o_ok = ps.orientation_hist_pallas(
+                    mod_o, ang_o, xl / xper, yl / xper, sl / xper, n_l,
+                    w, h, r_ori, cfg.n_ori_bins, interpret=interp)
             angles, a_valid = sk.orientation_peaks(
                 hist, o_ok & kp_valid, cfg.n_ori_bins, cfg.max_angles)
         else:
@@ -196,33 +306,34 @@ def _process_octave(octave: jnp.ndarray, cfg: SiftConfig, octave_index: int):
                 and cfg.n_spatial_bins ** 2 * cfg.n_desc_ori_bins == 128:
             from ..ops import pallas_sift as ps
 
-            # Split the level's keypoints into two SIGMA BUCKETS and walk
-            # each at its own (static) patch radius: the level radius is
-            # the worst case over sn in [l-0.5, l+1.5), but the walk cost
-            # scales with rows(P)*256/lane_pack — at the sn <= l+0.5
-            # midpoint the radius shrinks ~2^-0.5, the DMA window drops a
-            # sublane tile or two, and the lane packing rises (e.g. l1:
-            # P 115 -> 81, pack 2 -> 3: 2x fewer step-rows per keypoint).
-            # Bucket membership replicates the kernel's own window bound
-            # wr = floor(sqrt(2)*sbp*(NBP+1)/2+0.5) (vl/sift.c:1310-1311)
-            # so a keypoint NEVER lands in a bucket whose patch truncates
-            # its window.
-            r_small = sk.desc_patch_radius(
-                cfg.sigma0, cfg.n_levels, cfg.s_max, cfg.magnif,
-                cfg.n_spatial_bins, l - 1)
+            # SIGMA BUCKETS (round-3 pair -> round-4 generalized list):
+            # walk each keypoint near ITS window radius instead of the
+            # level's |b_s| < 1.5 worst case — walk cost per keypoint is
+            # rows(P)/pack(P), so e.g. level-0 keypoints at b_s ~ 0
+            # (wr ~ 24) walked at the worst-case r=40 pay ~2.3x. Radii
+            # come from sn quantiles deduped per cost class
+            # (_walk_buckets); membership replicates the kernel's own
+            # window bound wr = floor(sqrt(2)*sbp*(NBP+1)/2+0.5)
+            # (vl/sift.c:1310-1311) so a keypoint NEVER lands in a bucket
+            # whose patch truncates its window. Caps: uniform-b_s
+            # population + 30% margin (_bucket_cap); the catch-all tail
+            # keeps cap_l//4 (measured <= 7 keypoints at 1080p, but
+            # cap_l//8 bound at 600x800 — dataset3 image 10, round 4).
             sbp_kp = cfg.magnif * ka_sigma / xper + 2.220446049250313e-16
             wr_kp = jnp.floor(math.sqrt(2.0) * sbp_kp
                               * (cfg.n_spatial_bins + 1) / 2.0 + 0.5)
-            if r_small < r_desc:
-                # sn concentrates near the level center (|b_s| ~ 0): the
-                # high bucket measured <= 7 keypoints vs ~2000 low at 1080p
-                # — but cap_l//8 bound at 600x800 (dataset3 image 10,
-                # round 4: 15 dropped descriptors, telemetry); //4 keeps
-                # ~2x that margin and dead slots cost ~nothing in the
-                # live-count walk
-                buckets = [(r_small, ka_valid & (wr_kp <= r_small), cap_l),
-                           (r_desc, ka_valid & (wr_kp > r_small),
-                            max(128, cap_l // 4))]
+            dsegs = _walk_buckets(cfg, l, _desc_radius_for_sn, r_desc)
+            if dsegs:
+                buckets = []
+                sn_prev, wr_prev = l - 0.5, 0.0
+                for r_b, sn_hi in dsegs:
+                    cap_b = min(cap_d,
+                                _bucket_cap(cap_l, sn_prev, sn_hi, l))
+                    buckets.append((r_b, ka_valid & (wr_kp > wr_prev)
+                                    & (wr_kp <= r_b), cap_b))
+                    sn_prev, wr_prev = sn_hi, float(r_b)
+                buckets.append((r_desc, ka_valid & (wr_kp > wr_prev),
+                                max(128, cap_l // 4)))
             else:
                 buckets = [(r_desc, ka_valid, cap_d)]
             for r_b, sel_b, cap_b in buckets:
@@ -239,7 +350,7 @@ def _process_octave(octave: jnp.ndarray, cfg: SiftConfig, octave_index: int):
                     mod_d, ang_d, b_x / xper, b_y / xper, b_sigma / xper,
                     b_angle, n_b, w, h, r_b, cfg.magnif,
                     cfg.n_spatial_bins / 2.0, cfg.n_spatial_bins,
-                    cfg.n_desc_ori_bins)
+                    cfg.n_desc_ori_bins, interpret=interp)
                 results.append((desc, jnp.stack([b_x, b_y], axis=-1),
                                 b_sigma, d_ok, b_resp))
         else:

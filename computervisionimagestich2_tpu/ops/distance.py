@@ -77,7 +77,7 @@ def _l1_rescore(qry, cand_desc, cand_idx, cand_ok):
 
 
 def _l2pre_one_direction(qry, ref, qry_valid, ref_valid, m: int,
-                         precision=None):
+                         precision=None, rescore_f32: bool = True):
     """One direction of the MXU-prefiltered L1 2-NN.
 
     The [NQ, NR] squared-L2 matrix is one MXU matmul (~2% of the exact L1
@@ -106,7 +106,18 @@ def _l2pre_one_direction(qry, ref, qry_valid, ref_valid, m: int,
     d2sq = jnp.where(ref_valid[None, :], d2sq, BIG)
     m = min(m, ref.shape[0])
     _, idx = jax.lax.approx_min_k(d2sq, m)
-    d1, d2, i1 = _l1_rescore(qry, ref[idx], idx, ref_valid[idx])
+    # The candidate-row gather is the rescore's cost (the TPU point/row-
+    # gather wall — scripts/bench_r4_probe2.py). A bf16 gather variant
+    # (rescore_f32=False: gather a bfloat16 copy, upcast after) was
+    # measured SLOWER (7.7 vs 5.9 ms bidir at m=16 — the upcast
+    # materialization exceeds the byte saving; TPU row gathers are
+    # element-rate-bound, not byte-bound) and twice as lossy (20 vs 10
+    # decision diffs over the 40-direction oracle sweep,
+    # scripts/bench_r4_probe6.py round 4), so production always gathers
+    # f32; the flag stays for the probe's A/B record.
+    cand = ref[idx] if rescore_f32 \
+        else ref.astype(jnp.bfloat16)[idx].astype(jnp.float32)
+    d1, d2, i1 = _l1_rescore(qry, cand, idx, ref_valid[idx])
     d1 = jnp.where(qry_valid, d1, BIG)
     d2 = jnp.where(qry_valid, d2, BIG)
     return d1, d2, i1

@@ -53,13 +53,20 @@ EPSILON_D = 2.220446049250313e-16
 
 _LANES = 128
 _NSLOTS = 2   # DMA pipeline depth; 4 measured no better (RESULTS r2f)
-_MAX_PACK = 8
+# pack bound: VMEM scratch and DMA-semaphore count scale with it; 12 keeps
+# the scratch under ~1.5 MB at the smallest patches (where 256/P exceeds
+# the old cap of 8 — the round-4 small-radius ori/desc buckets)
+_MAX_PACK = 12
 
 
 def _rows(p: int) -> int:
-    """Patch DMA row count: P rounded up to the sublane tile (8), plus one
-    extra tile for the tile-alignment residual of the window start."""
-    return -(-p // 8) * 8 + 8
+    """Patch DMA row count: the window occupies rows [dy0, dy0 + P) of the
+    copy with dy0 in [0, 8) (the tile-alignment residual of the window
+    start), so ceil((P + 7) / 8) sublane tiles always cover it. (The
+    round-3 form rounded P up to a tile and then added a whole extra tile —
+    one 8-row tile of pure dead compute for every odd P, 8-12% of the walk
+    at the app's patch sizes.)"""
+    return -(-(p + 7) // 8) * 8
 
 
 def _pack(p: int) -> int:

@@ -125,6 +125,107 @@ def _enlarge2_axis1(img: jnp.ndarray, n_dst: int) -> jnp.ndarray:
     return inter[:, :n_dst]
 
 
+@lru_cache(maxsize=None)
+def _blur_shrink_coefs(n_src: int, n_dst: int, sigma: float):
+    """Composite coefficients for (Gaussian FIR blur -> CImg half shrink)
+    along one axis, folded into ONE strided stencil:
+
+        out[t] = sum_d C[t, d] * xpad[2*t + d],   xpad = edge-pad(x, r)
+
+    where blur[s] = sum_k g[k] * xpad[s + k] (g = gauss_taps, r = (K-1)/2)
+    and out[t] = sum_e bw[t, e] * blur[idx0[t] + e] (the overlap-weighted
+    moving average, CImg.h:29539-29556). Mathematically identical to
+    blur-then-shrink (float reassociation only), at ~half the multiply-adds
+    and with no blurred intermediate materialized — the blend pyramid's
+    downsweep is where most of its time went (RESULTS round 4).
+
+    Returns (r, C [n_dst, D]) with slice offsets d in [0, D)."""
+    from .gaussian import gauss_taps
+
+    g = gauss_taps(sigma)
+    k = len(g)
+    r = (k - 1) // 2
+    idx0, bw = _banded_weights(n_src, n_dst)
+    b = bw.shape[1]
+    t = np.arange(n_dst)
+    dmin = int((idx0 - 2 * t).min())
+    assert dmin >= 0, (n_src, n_dst, dmin)
+    dmax = int((idx0 + b - 1 - 2 * t).max()) + k - 1
+    assert 2 * (n_dst - 1) + dmax <= n_src + 2 * r - 1, (n_src, n_dst)
+    c = np.zeros((n_dst, dmax + 1), np.float32)
+    for ti in range(n_dst):
+        for e in range(b):
+            d0 = int(idx0[ti]) + e - 2 * ti
+            c[ti, d0:d0 + k] += bw[ti, e] * g
+    return r, c
+
+
+def _blur_shrink_axis(x: jnp.ndarray, n_dst: int, sigma: float,
+                      axis: int) -> jnp.ndarray:
+    """Apply the composite blur+half-shrink stencil along ``axis``.
+
+    Fast path requires the stencil to be position-INDEPENDENT (n_src even:
+    the moving-average weights are a uniform [.5, .5], so every composite
+    row is identical) — then each term is a SCALAR-weighted strided slice,
+    which XLA fuses into one pass exactly like the blur's shift-and-add.
+    The per-position column form (odd n_src) defeated that fusion and ran
+    ~10x slower than the unfused pair (scripts/bench_r4_probe6.py round 4:
+    blend 49.5 ms vs 5), so odd axes fall back to blur-then-shrink along
+    this axis (axis-independent linear maps — mixing fused/unfused per
+    axis still computes the same values)."""
+    from .gaussian import _conv1d_axis, gauss_taps
+
+    axis = axis % x.ndim
+    n_src = x.shape[axis]
+    if n_src != 2 * n_dst:
+        blurred = _conv1d_axis(x, jnp.asarray(gauss_taps(sigma),
+                                              x.dtype), axis)
+        if axis == 1:
+            return _resize_axis1(blurred, n_dst)
+        return jnp.swapaxes(
+            _resize_axis1(jnp.swapaxes(blurred, 0, 1), n_dst), 0, 1)
+    r, c = _blur_shrink_coefs(n_src, n_dst, float(sigma))
+    assert np.allclose(c, c[:1]), "even-dim stencil must be uniform"
+    taps = c[0]
+    d_len = len(taps)
+    # PHASE DECOMPOSITION: out[t] = sum_d taps[d] * xp[2t + d] as one
+    # strided slice PER TAP ran ~10x slower than the unfused pair (every
+    # stride-2 slice is its own relayout pass on TPU). Splitting xp into
+    # even/odd phases ONCE (two strided slices) turns every tap term into
+    # a CONTIGUOUS slice of a phase array — the same shift-and-add
+    # structure XLA fuses for the blur — at half the blur's output size:
+    #   out[t] = sum_j taps[2j]*even[t+j] + taps[2j+1]*odd[t+j]
+    n_half = (d_len + 1) // 2
+    length = n_dst + n_half          # max contiguous-slice extent needed
+    pad_cfg = [(0, 0)] * x.ndim
+    # right pad: the odd phase slices up to xp[2*length - 1]; xp has
+    # n_src + 2r elements without the extra pad (padded values land only
+    # in the unused tail of the phase arrays)
+    extra = max(0, 2 * length - (n_src + 2 * r))
+    pad_cfg[axis] = (r, r + extra)
+    xp = jnp.pad(x, pad_cfg, mode="edge")
+    even = jax.lax.slice_in_dim(xp, 0, 2 * length - 1, stride=2, axis=axis)
+    odd = jax.lax.slice_in_dim(xp, 1, 2 * length, stride=2, axis=axis)
+    out = None
+    for d in range(d_len):
+        phase, j = (even, odd)[d % 2], d // 2
+        term = jnp.asarray(taps[d], x.dtype) * jax.lax.slice_in_dim(
+            phase, j, j + n_dst, axis=axis)
+        out = term if out is None else out + term
+    return out
+
+
+def blur_shrink_hwc(img: jnp.ndarray, out_h: int, out_w: int,
+                    sigma: float) -> jnp.ndarray:
+    """cimg_resize(blur(img, sigma), out_h, out_w) fused, for the blend
+    pyramid downsweep: [H, W, C] (or [H, W]), out dims == in dims // 2.
+    Axis order matches the unfused pair (blur W-then-H, resize x-then-y;
+    all four are linear maps along independent axes, so the composite
+    order W-pass-then-H-pass computes the same values)."""
+    out = _blur_shrink_axis(img, out_w, sigma, 1)
+    return _blur_shrink_axis(out, out_h, sigma, 0)
+
+
 def _resize_axis1(img: jnp.ndarray, n_dst: int) -> jnp.ndarray:
     """Resize axis 1 of [H, W, ...] with CImg semantics."""
     n_src = img.shape[1]

@@ -402,3 +402,36 @@ def test_banded_warp_planner_rejects_wild_warps():
     proj = np.ones(9, np.float32)
     assert banded_warp_params(proj, (256, 256), 0.0, 0.0, (200, 200),
                               model="projective") is None
+
+
+@pytest.mark.parametrize("h,w", [(16, 24), (17, 25), (30, 19)])
+def test_blur_shrink_matches_blur_then_resize(rng, h, w):
+    """The fused downsweep stencil (ops.resize.blur_shrink_hwc) must equal
+    gaussian_blur -> cimg_resize (it is the same linear map with the
+    per-output coefficients precombined; only float reassociation
+    differs)."""
+    import jax.numpy as jnp
+
+    img = rng.normal(size=(h, w, 3)).astype(np.float32) * 50 + 100
+    hp, wp = max(h // 2, 1), max(w // 2, 1)
+    sigma = 2.0
+    # unfused oracle: blur W then H (gaussian_blur order on [H, W, C] via
+    # the axis-direct form used by the blender), then CImg resize
+    from computervisionimagestich2_tpu.models.blender import _blur_hwc
+    expect = np.asarray(resize.cimg_resize(
+        _blur_hwc(jnp.asarray(img), sigma), hp, wp))
+    got = np.asarray(resize.blur_shrink_hwc(jnp.asarray(img), hp, wp, sigma))
+    assert got.shape == expect.shape
+    np.testing.assert_allclose(got, expect, atol=2e-3)
+
+
+def test_blur_shrink_2d_no_channels(rng):
+    import jax.numpy as jnp
+
+    from computervisionimagestich2_tpu.models.blender import _blur_hwc
+
+    img = rng.normal(size=(22, 18)).astype(np.float32)
+    expect = np.asarray(resize.cimg_resize(
+        _blur_hwc(jnp.asarray(img), 2.0), 11, 9))
+    got = np.asarray(resize.blur_shrink_hwc(jnp.asarray(img), 11, 9, 2.0))
+    np.testing.assert_allclose(got, expect, atol=2e-3)

@@ -76,3 +76,37 @@ def test_dead_slots_zeroed(scene):
         3.0, 2.0, 4, 8, interpret=True)
     assert not np.asarray(ok_p)[5:].any()
     np.testing.assert_array_equal(np.asarray(desc_p)[5:], 0.0)
+
+
+@pytest.mark.slow  # interpret-mode full pipeline, ~40s on CPU
+def test_bucketed_walk_dispatch_matches_xla_pipeline():
+    """Full sift_extract through the Pallas walk DISPATCH (wr buckets +
+    ori scatter-back, round 4) in interpret mode vs the XLA path: the
+    same keypoint set with the same descriptors. Bucket concatenation
+    order differs from the XLA path's ordering, so rows are compared as
+    sorted sets keyed by (x, y, sigma, first desc bin)."""
+    from computervisionimagestich2_tpu.config import SiftConfig
+    from computervisionimagestich2_tpu.models.sift import sift_extract
+
+    rng = np.random.default_rng(3)
+    img = (rng.random((80, 100)) * 255).astype(np.float32)
+    base = dict(n_octaves=2, max_keypoints=1024,
+                max_keypoints_per_octave=512)
+    f_x = sift_extract(jnp.asarray(img), SiftConfig(pallas="off", **base))
+    f_p = sift_extract(jnp.asarray(img),
+                       SiftConfig(pallas="interpret", **base))
+
+    def rows(f):
+        v = np.asarray(f.valid)
+        xy = np.asarray(f.xy)[v]
+        sc = np.asarray(f.scale)[v]
+        d = np.asarray(f.desc)[v]
+        order = np.lexsort((np.round(d[:, 0], 3), sc, xy[:, 1], xy[:, 0]))
+        return xy[order], sc[order], d[order]
+
+    xa, sa, da = rows(f_x)
+    xb, sb, db = rows(f_p)
+    assert xa.shape == xb.shape, (xa.shape, xb.shape)
+    np.testing.assert_allclose(xa, xb, atol=1e-4)
+    np.testing.assert_allclose(sa, sb, atol=1e-4)
+    np.testing.assert_allclose(da, db, atol=5e-5)
