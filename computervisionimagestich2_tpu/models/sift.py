@@ -190,12 +190,24 @@ def _process_octave(octave: jnp.ndarray, cfg: SiftConfig, octave_index: int):
     cap_cand = candidate_capacity(h, w)
     cap_kp = keypoint_capacity(h, w, cfg.max_keypoints_per_octave)
 
+    use_pallas = _pallas_enabled(cfg)
+    interp = cfg.pallas == "interpret"
     dog = sk.dog_stack(octave)
-    mask = sk.extrema_mask(dog, cfg.peak_thresh)
-    coords, cvalid = sk.compact_mask(mask, cap_cand)
+    if use_pallas:
+        # fused streaming detect (ops/pallas_detect.py): one pass over
+        # the DoG at HBM bandwidth with in-kernel extrema + scan-order
+        # append — replaces the dense mask + bitonic-sort compaction
+        # (same coords/valid, same truncation semantics)
+        from ..ops.pallas_detect import detect_compact_pallas
+
+        coords, cvalid, n_cand = detect_compact_pallas(
+            dog, cfg.peak_thresh, cap_cand, interpret=interp)
+    else:
+        mask = sk.extrema_mask(dog, cfg.peak_thresh)
+        coords, cvalid = sk.compact_mask(mask, cap_cand)
+        n_cand = jnp.sum(mask.astype(jnp.int32))
     # telemetry: candidates dropped by the static capacity (VERDICT r1 #8 —
     # truncation must be reported, never silent)
-    n_cand = jnp.sum(mask.astype(jnp.int32))
     cand_dropped = jnp.maximum(n_cand - cap_cand, 0)
     ok, x, y, sigma, lvl, resp = sk.refine_keypoints(
         dog, coords, cvalid, w, h, cfg.peak_thresh, cfg.edge_thresh,
@@ -212,8 +224,6 @@ def _process_octave(octave: jnp.ndarray, cfg: SiftConfig, octave_index: int):
     # walk grids, compactions, and peak extraction all scale with cap_l.
     def cap_level(l: int) -> int:
         return max(128, (2 * cap_kp) // ((cfg.n_levels + 1) * (2 if l else 1)))
-    use_pallas = _pallas_enabled(cfg)
-    interp = cfg.pallas == "interpret"
     results = []
     kp_dropped = jnp.int32(0)
     desc_dropped = jnp.int32(0)

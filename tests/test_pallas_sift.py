@@ -110,3 +110,53 @@ def test_bucketed_walk_dispatch_matches_xla_pipeline():
     np.testing.assert_allclose(xa, xb, atol=1e-4)
     np.testing.assert_allclose(sa, sb, atol=1e-4)
     np.testing.assert_allclose(da, db, atol=5e-5)
+
+
+@pytest.mark.parametrize("hw", [(64, 96), (61, 130), (33, 40)])
+def test_detect_compact_matches_xla(hw):
+    """Fused streaming detect (ops/pallas_detect.py) vs
+    compact_mask(extrema_mask(...)): identical coords, validity, and
+    total count — including non-tile-aligned dims and the scan order."""
+    from computervisionimagestich2_tpu.ops.pallas_detect import \
+        detect_compact_pallas
+
+    rng = np.random.default_rng(11)
+    h, w = hw
+    dog = jnp.asarray(rng.normal(size=(4, h, w)).astype(np.float32) * 2)
+    tp = 1.0
+    cap = 512
+    mask = sk.extrema_mask(dog, tp)
+    coords_ref, valid_ref = sk.compact_mask(mask, cap)
+    n_ref = int(np.asarray(mask.sum()))
+
+    coords_p, valid_p, n_p = detect_compact_pallas(dog, tp, cap,
+                                                   interpret=True)
+    assert int(np.asarray(n_p)) == n_ref
+    np.testing.assert_array_equal(np.asarray(valid_ref),
+                                  np.asarray(valid_p))
+    np.testing.assert_array_equal(np.asarray(coords_ref),
+                                  np.asarray(coords_p))
+
+
+def test_detect_compact_capacity_truncation():
+    """Capacity binding keeps the FIRST cap hits in scan order and
+    reports the full count (scan-order truncation semantics of
+    compact_mask)."""
+    from computervisionimagestich2_tpu.ops.pallas_detect import \
+        detect_compact_pallas
+
+    rng = np.random.default_rng(5)
+    dog = jnp.asarray(rng.normal(size=(4, 48, 64)).astype(np.float32) * 3)
+    tp = 0.5
+    mask = sk.extrema_mask(dog, tp)
+    n_ref = int(np.asarray(mask.sum()))
+    assert n_ref > 8
+    cap = 8
+    coords_ref, valid_ref = sk.compact_mask(mask, cap)
+    coords_p, valid_p, n_p = detect_compact_pallas(dog, tp, cap,
+                                                   interpret=True)
+    assert int(np.asarray(n_p)) == n_ref
+    np.testing.assert_array_equal(np.asarray(coords_ref),
+                                  np.asarray(coords_p))
+    np.testing.assert_array_equal(np.asarray(valid_ref),
+                                  np.asarray(valid_p))
