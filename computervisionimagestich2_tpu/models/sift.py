@@ -193,7 +193,7 @@ def _process_octave(octave: jnp.ndarray, cfg: SiftConfig, octave_index: int):
     use_pallas = _pallas_enabled(cfg)
     interp = cfg.pallas == "interpret"
     dog = sk.dog_stack(octave)
-    if use_pallas:
+    if use_pallas and cfg.detect_impl == "pallas":
         # fused streaming detect (ops/pallas_detect.py): one pass over
         # the DoG at HBM bandwidth with in-kernel extrema + scan-order
         # append — replaces the dense mask + bitonic-sort compaction
