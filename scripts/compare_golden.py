@@ -41,6 +41,12 @@ def main():
     ap.add_argument("--seed", type=int, default=0,
                     help="override the RANSAC base seed (our own "
                          "draw-envelope studies; 0 = reference's 666666)")
+    ap.add_argument("--parity", action="store_true",
+                    help="pin the reference-faithful algorithm pair "
+                         "(ADVICE r4): exact-L1 matching (no l2pre MXU "
+                         "prefilter) AND lo_iters=0 (the reference's "
+                         "refit-and-stop RANSAC, ImageProcess.cpp:500-529)"
+                         " — the perf defaults intentionally diverge")
     args = ap.parse_args()
 
     golden = load_image("/root/reference/src/ex6/dataset1/result.bmp")
@@ -58,6 +64,11 @@ def main():
     if args.seed:
         cfg = dataclasses.replace(cfg, ransac=dataclasses.replace(
             cfg.ransac, seed=args.seed))
+    if args.parity:
+        cfg = dataclasses.replace(
+            cfg,
+            match=dataclasses.replace(cfg.match, method="exact"),
+            ransac=dataclasses.replace(cfg.ransac, lo_iters=0))
     ours = Stitcher(cfg).stitch(images)
 
     gh, gw = golden.shape[:2]

@@ -1,0 +1,175 @@
+"""TPU smoke gate: compile + run every Pallas kernel ON THE REAL CHIP.
+
+Round-4 postmortem (VERDICT r4 missing #3): interpret-mode tests pass on
+CPU while the same kernel can be uncompilable on TPU — Mosaic layout and
+alignment constraints are invisible to the interpreter. This gate runs
+the REAL default dispatch paths at bench shapes on the actual device, so
+a kernel that cannot compile (or crashes) on hardware fails loudly
+BEFORE a round snapshot, not in the driver bench.
+
+Discipline (README "TPU smoke gate"): run this after the last functional
+commit of every session; never wire a Pallas kernel into a default path
+with interpret-only coverage. Quarantined kernels (not in any default
+path, e.g. detect_impl="pallas") are attempted and REPORTED but do not
+fail the gate.
+
+Also enforces coverage mechanically: any ops/ module that calls
+pl.pallas_call but is not exercised here fails the gate with a message
+to extend it.
+
+Usage (single-client TPU tunnel — run alone):
+    python scripts/tpu_smoke.py          # ~1-2 min warm cache
+Exit 0 = all default-path kernels compiled and ran on TPU.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+# every ops/ module calling pl.pallas_call must appear here, mapped to
+# default-path (gate-failing) or quarantined (report-only)
+COVERED_DEFAULT = {"pallas_sift.py", "pallas_distance.py", "pallas_warp.py"}
+COVERED_QUARANTINED = {"pallas_detect.py"}
+
+
+def check_coverage() -> list[str]:
+    import glob
+
+    pkg = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "computervisionimagestich2_tpu")
+    missing = []
+    for path in glob.glob(os.path.join(pkg, "**", "*.py"), recursive=True):
+        with open(path) as f:
+            if "pallas_call" not in f.read():
+                continue
+        name = os.path.basename(path)
+        if name not in COVERED_DEFAULT | COVERED_QUARANTINED:
+            missing.append(os.path.relpath(path, pkg))
+    return missing
+
+
+def main() -> int:
+    t_start = time.time()
+    missing = check_coverage()
+    if missing:
+        print(json.dumps({"ok": False, "error": "uncovered pallas modules",
+                          "modules": missing}))
+        return 1
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    platform = jax.devices()[0].platform
+    if platform != "tpu":
+        print(json.dumps({"ok": False,
+                          "error": f"not a TPU backend: {platform}"}))
+        return 1
+
+    from computervisionimagestich2_tpu.config import DEFAULT_CONFIG
+    from computervisionimagestich2_tpu.models.matcher import (
+        match_features_bidir)
+    from computervisionimagestich2_tpu.models.registration import (
+        all_pairs_match_counts)
+    from computervisionimagestich2_tpu.models.sift import sift_extract
+    from computervisionimagestich2_tpu.models.stitcher import Stitcher
+    from computervisionimagestich2_tpu.ops.color import to_gray
+    from computervisionimagestich2_tpu.ops.warp import cylindrical_project
+    from computervisionimagestich2_tpu.utils.io import load_image
+
+    report = {"ok": True, "stages": {}}
+
+    def stage(name, fn, fail_gate=True):
+        t0 = time.time()
+        try:
+            fn()
+            report["stages"][name] = {"ok": True,
+                                      "s": round(time.time() - t0, 1)}
+        except Exception as e:  # noqa: BLE001 — the gate reports everything
+            report["stages"][name] = {"ok": False, "error": repr(e)[:400]}
+            if fail_gate:
+                report["ok"] = False
+        print(f"  {name}: {report['stages'][name]}", flush=True)
+
+    cfg = DEFAULT_CONFIG
+    images = [load_image(f"/root/reference/Input/{i}.bmp")
+              for i in range(1, 5)]
+    from scripts.bench_1080p import upscale
+    big = upscale(images[0], 1440, 1080)
+
+    feats = {}
+
+    def run_sift(img, tag):
+        proj = cylindrical_project(jnp.asarray(img, jnp.float32),
+                                   cfg.projection.angle_deg)
+        f = sift_extract(to_gray(proj), cfg.sift)
+        float(np.asarray(f.desc.sum()))        # force execution
+        feats[tag] = f
+
+    # 1. SIFT at bench shapes — exercises every ori/desc walk bucket
+    # radius of both levels at 384x512, 600x800-scale, and north-star
+    # 1440x1080 (pallas_sift.py)
+    stage("sift_384x512", lambda: run_sift(images[0], "small"))
+    stage("sift_1440x1080", lambda: run_sift(big, "big"))
+
+    # 2. matcher kernels at honest caps (pallas_distance.py: bidir 2-NN)
+    def run_match():
+        m = match_features_bidir(feats["big"], feats["big"],
+                                 cfg.match.ratio_threshold,
+                                 cfg.match.distance, cfg.match.max_matches,
+                                 cfg.match.pallas, cfg.match.method,
+                                 cfg.match.l2pre_m)
+        float(np.asarray(m[0].count))
+
+    stage("match_bidir", run_match)
+
+    # 3. ordering counts (pallas_distance.py: pair-counts kernel)
+    def run_counts():
+        d = jnp.stack([feats["small"].desc] * 3)
+        v = jnp.stack([feats["small"].valid] * 3)
+        float(np.asarray(all_pairs_match_counts(d, v, cfg).sum()))
+
+    stage("ordering_counts", run_counts)
+
+    # 4. full pipeline (pallas_warp.py one-hot warp + blends + enhance)
+    def run_stitch():
+        out = Stitcher(cfg).stitch(images)
+        assert np.asarray(out).shape[0] > 400
+
+    stage("stitch_4img", run_stitch)
+
+    # 5. quarantined kernels — attempted, reported, non-fatal
+    def run_detect_pallas():
+        from computervisionimagestich2_tpu.models.sift import (
+            build_octave, candidate_capacity, scale_space_sigmas)
+        from computervisionimagestich2_tpu.ops.pallas_detect import (
+            detect_compact_pallas)
+        from computervisionimagestich2_tpu.ops.sift_kernels import dog_stack
+
+        gray = to_gray(cylindrical_project(
+            jnp.asarray(big, jnp.float32), cfg.projection.angle_deg))
+        first_sigma, _ = scale_space_sigmas(cfg.sift)
+        octave = build_octave(gray.astype(jnp.float32), cfg.sift,
+                              first_sigma)
+        dog = dog_stack(octave)
+        h, w = dog.shape[1:]
+        c, v, n = detect_compact_pallas(dog, cfg.sift.peak_thresh,
+                                        candidate_capacity(h, w))
+        float(np.asarray(n))
+
+    stage("detect_pallas_quarantined", run_detect_pallas, fail_gate=False)
+
+    report["total_s"] = round(time.time() - t_start, 1)
+    print(json.dumps(report), flush=True)
+    return 0 if report["ok"] else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

