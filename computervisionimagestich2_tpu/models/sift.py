@@ -213,8 +213,9 @@ def _process_octave(octave: jnp.ndarray, cfg: SiftConfig, octave_index: int):
         dog, coords, cvalid, w, h, cfg.peak_thresh, cfg.edge_thresh,
         cfg.s_min, cfg.s_max, xper, cfg.sigma0, cfg.n_levels)
 
-    # gradient field for levels s in [s_min+1, s_max-2] (octave indices 1..S)
-    grad = sk.polar_gradient(octave[1:1 + cfg.n_levels])       # [S, H, W, 2]
+    # gradient field for levels s in [s_min+1, s_max-2] (octave indices
+    # 1..S), plane-major [S, 2, H, W] (see polar_gradient layout note)
+    grad = sk.polar_gradient(octave[1:1 + cfg.n_levels])
 
     # per-level batches: level-l keypoints have sn < l + 1.5 (|b_s| < 1.5),
     # so their orientation/descriptor windows are tighter — the dominant
@@ -235,7 +236,10 @@ def _process_octave(octave: jnp.ndarray, cfg: SiftConfig, octave_index: int):
         xl, yl, sl, rl = x[kp_idx], y[kp_idx], sigma[kp_idx], resp[kp_idx]
 
         r_ori = sk.ori_patch_radius(cfg.sigma0, cfg.n_levels, cfg.s_max, l)
-        grad_l = grad[l:l + 1]
+        # interleaved [1, H, W, 2] view for the XLA fallback kernels
+        # (their patch gather wants minor-dim planes); the pallas path
+        # slices the plane-major form directly
+        grad_l = jnp.moveaxis(grad[l:l + 1], 1, -1)
         if use_pallas and 2 * r_ori + 1 <= 128:
             from ..ops import pallas_sift as ps
 
@@ -275,8 +279,8 @@ def _process_octave(octave: jnp.ndarray, cfg: SiftConfig, octave_index: int):
                     st = starts[b]
                     xb, yb, sb = (jax.lax.dynamic_slice(a, (st,), (cap_l,))
                                   for a in pads)
-                    mod_o = ps.pad_for_patches(grad[l, :, :, 0], r_b)
-                    ang_o = ps.pad_for_patches(grad[l, :, :, 1], r_b)
+                    mod_o = ps.pad_for_patches(grad[l, 0], r_b)
+                    ang_o = ps.pad_for_patches(grad[l, 1], r_b)
                     hb, gb = ps.orientation_hist_pallas(
                         mod_o, ang_o, xb / xper, yb / xper, sb / xper,
                         counts[b][None], w, h, r_b, cfg.n_ori_bins,
@@ -287,8 +291,8 @@ def _process_octave(octave: jnp.ndarray, cfg: SiftConfig, octave_index: int):
                     hist = hb if hist is None else hist + hb
                     o_ok = ob if o_ok is None else o_ok | ob
             else:
-                mod_o = ps.pad_for_patches(grad[l, :, :, 0], r_ori)
-                ang_o = ps.pad_for_patches(grad[l, :, :, 1], r_ori)
+                mod_o = ps.pad_for_patches(grad[l, 0], r_ori)
+                ang_o = ps.pad_for_patches(grad[l, 1], r_ori)
                 n_l = jnp.sum(kp_valid.astype(jnp.int32))[None]
                 hist, o_ok = ps.orientation_hist_pallas(
                     mod_o, ang_o, xl / xper, yl / xper, sl / xper, n_l,
@@ -353,8 +357,8 @@ def _process_octave(octave: jnp.ndarray, cfg: SiftConfig, octave_index: int):
                 b_x, b_y, b_sigma, b_angle, b_resp = (
                     ka_x[db_idx], ka_y[db_idx], ka_sigma[db_idx],
                     ka_angle[db_idx], ka_resp[db_idx])
-                mod_d = ps.pad_for_patches(grad[l, :, :, 0], r_b)
-                ang_d = ps.pad_for_patches(grad[l, :, :, 1], r_b)
+                mod_d = ps.pad_for_patches(grad[l, 0], r_b)
+                ang_d = ps.pad_for_patches(grad[l, 1], r_b)
                 n_b = jnp.sum(b_valid.astype(jnp.int32))[None]
                 desc, d_ok = ps.descriptors_pallas(
                     mod_d, ang_d, b_x / xper, b_y / xper, b_sigma / xper,

@@ -273,10 +273,13 @@ def _desc_kernel(nv_ref, yx_ref, par_ref, grad_hbm,
         # spatial cell are stored TOGETHER as a sublane-tile-aligned
         # [nbo, 256] block (nbo == 8 == the f32 sublane tile).
         half = nbp // 2
+        # hoist the x-hats: the old loop re-evaluated _hat(nx - cx) for
+        # every byi (12 redundant [rows, 256] hat evaluations per step)
+        hxs = [_hat(nx - (bxi - half + 0.5)) for bxi in range(nbp)]
         for byi in range(nbp):
             hy = _hat(ny - (byi - half + 0.5))
             for bxi in range(nbp):
-                ws = hy * _hat(nx - (bxi - half + 0.5))
+                ws = hy * hxs[bxi]
                 cell = (byi * nbp + bxi) * nbo
                 acc[pl.ds(cell, nbo), :] = jnp.concatenate(
                     [jnp.sum(ws * planes[t], axis=0, keepdims=True)

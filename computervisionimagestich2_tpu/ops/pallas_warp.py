@@ -113,6 +113,13 @@ def onehot_warp_params(coeffs, out_shape, offset_x: float, offset_y: float,
     if d > max_d:
         return None
 
+    # packable-range guard (ADVICE r4): the (sy << 16) | sx word holds
+    # sy in bits 16-30 and sx in bits 7-15 below it — a source taller
+    # than 2^15 rows or wider than 2^16 px would silently corrupt the
+    # unpack. Fall back to the gather warp instead of corrupting.
+    if src_h > (1 << 15) or src_w > (1 << 16):
+        return None
+
     # one packed int32 per tile: (sy << 16) | sx | live — sx is lane-
     # aligned so its low 7 bits are free; bit 0 carries the tile's
     # liveness. (A [T, 2] scalar-prefetch operand gets tile-padded past

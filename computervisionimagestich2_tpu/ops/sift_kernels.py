@@ -97,16 +97,6 @@ def compact_mask(mask: jnp.ndarray, capacity: int):
     return coords.astype(jnp.int32), valid
 
 
-def _shift2(a: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
-    """a[(s), y+dy, x+dx] with zero fill — valid for interior use only.
-    Pad + static slice (rolls force minor-dim concats)."""
-    h, w = a.shape[-2], a.shape[-1]
-    padded = jnp.pad(a, [(0, 0)] * (a.ndim - 2) + [(1, 1), (1, 1)])
-    start = [0] * (a.ndim - 2) + [1 + dy, 1 + dx]
-    limit = list(a.shape[:-2]) + [1 + dy + h, 1 + dx + w]
-    return jax.lax.slice(padded, start, limit)
-
-
 def _solve3_gauss(a_mat: jnp.ndarray, b_vec: jnp.ndarray):
     """3x3 solve via the closed-form adjugate (Cramer) with the reference's
     singular fallback b=0 (sift.c:668-727; there a max-pivot Gauss
@@ -147,19 +137,26 @@ def _refine_fields(dog: jnp.ndarray, w: int, h: int, peak_thresh: float,
     are bounds-clamped, mirroring sift.c:733-739).
     """
     # candidates only live on the interior s slices (extrema_mask slice s ->
-    # dog level s+1), and the position chase never moves in s — so the solve
-    # and acceptance fields are computed ONLY on dog[1:-1]. The +-1 s-shifts
-    # become static slices of the full-stack stencils (the jnp.roll wrap
-    # values were garbage-but-unreachable; slicing deletes that work and
-    # halves the dense-field traffic for the S+3=5-level app configuration).
-    full = dog
-    xp1f, xm1f = _shift2(full, 0, 1), _shift2(full, 0, -1)
-    yp1f, ym1f = _shift2(full, 1, 0), _shift2(full, -1, 0)
+    # dog level s+1), and the position chase never moves in s NOR onto the
+    # 1-px spatial border (its steps are bounds-clamped to [1, dim-2]) —
+    # so every field is computed on the INTERIOR domain
+    # [s_out, H-2, W-2] with pure static slices of the dog stack. The
+    # round-2 form used jnp.pad + slice per stencil shift; each of the
+    # ~12 pads materialized a full [S, H, W] copy that broke XLA's fusion
+    # of the stencil chain (refine measured 2.5 ms in-context at
+    # 1440x1080, ~5x its flop+HBM roofline — probe round 5). Slices of
+    # one common array fuse freely.
+    d_lvl, hh, ww = dog.shape
 
-    c = full[1:-1]
-    xp1, xm1 = xp1f[1:-1], xm1f[1:-1]
-    yp1, ym1 = yp1f[1:-1], ym1f[1:-1]
-    sp1, sm1 = full[2:], full[:-2]
+    def sl(ds, dy, dx):
+        return jax.lax.slice(
+            dog, (1 + ds, 1 + dy, 1 + dx),
+            (d_lvl - 1 + ds, hh - 1 + dy, ww - 1 + dx))
+
+    c = sl(0, 0, 0)
+    xp1, xm1 = sl(0, 0, 1), sl(0, 0, -1)
+    yp1, ym1 = sl(0, 1, 0), sl(0, -1, 0)
+    sp1, sm1 = sl(1, 0, 0), sl(-1, 0, 0)
 
     dx_ = 0.5 * (xp1 - xm1)
     dy_ = 0.5 * (yp1 - ym1)
@@ -167,10 +164,12 @@ def _refine_fields(dog: jnp.ndarray, w: int, h: int, peak_thresh: float,
     dxx = xp1 + xm1 - 2 * c
     dyy = yp1 + ym1 - 2 * c
     dss = sp1 + sm1 - 2 * c
-    dxy = 0.25 * (_shift2(c, 1, 1) + _shift2(c, -1, -1)
-                  - _shift2(c, 1, -1) - _shift2(c, -1, 1))
-    dxs = 0.25 * (xp1f[2:] + xm1f[:-2] - xm1f[2:] - xp1f[:-2])
-    dys = 0.25 * (yp1f[2:] + ym1f[:-2] - ym1f[2:] - yp1f[:-2])
+    dxy = 0.25 * (sl(0, 1, 1) + sl(0, -1, -1)
+                  - sl(0, 1, -1) - sl(0, -1, 1))
+    dxs = 0.25 * (sl(1, 0, 1) + sl(-1, 0, -1)
+                  - sl(1, 0, -1) - sl(-1, 0, 1))
+    dys = 0.25 * (sl(1, 1, 0) + sl(-1, -1, 0)
+                  - sl(1, -1, 0) - sl(-1, 1, 0))
 
     # dense 3x3 adjugate solve: A b = -[dx, dy, ds]
     co_a = dyy * dss - dys * dys
@@ -188,8 +187,10 @@ def _refine_fields(dog: jnp.ndarray, w: int, h: int, peak_thresh: float,
           + (dxx * dyy - dxy * dxy) * r2) * inv_det
 
     n_s = c.shape[0]
-    ys = jax.lax.broadcasted_iota(jnp.int32, c.shape, 1)
-    xs = jax.lax.broadcasted_iota(jnp.int32, c.shape, 2)
+    # interior-domain iotas: field position (i, j) is image (y, x) =
+    # (i + 1, j + 1)
+    ys = jax.lax.broadcasted_iota(jnp.int32, c.shape, 1) + 1
+    xs = jax.lax.broadcasted_iota(jnp.int32, c.shape, 2) + 1
     ss = jax.lax.broadcasted_iota(jnp.int32, c.shape, 0)
     step_x = (jnp.where((b0 > 0.6) & (xs < w - 2), 1, 0)
               + jnp.where((b0 < -0.6) & (xs > 1), -1, 0)).astype(jnp.int32)
@@ -242,6 +243,10 @@ def refine_keypoints(dog: jnp.ndarray, coords: jnp.ndarray, valid: jnp.ndarray,
         dog, w, h, peak_thresh, edge_thresh, s_min, s_max, xper, sigma0,
         n_levels)
     n_s, hh, ww = dog.shape
+    # fields live on the interior domain [s_out, hh-2, ww-2]: image
+    # (y, x) is field (y-1, x-1); candidates and the bounds-clamped chase
+    # never leave [1, dim-2], so field indices stay in range
+    hh2, ww2 = hh - 2, ww - 2
     sc_flat = step_code.reshape(-1)
 
     # the fields cover only the interior dog slices: mask slice s (= dog
@@ -249,25 +254,25 @@ def refine_keypoints(dog: jnp.ndarray, coords: jnp.ndarray, valid: jnp.ndarray,
     s_dog = coords[:, 0] + 1
     y = coords[:, 1]
     x = coords[:, 2]
-    base = coords[:, 0] * (hh * ww)
+    base = coords[:, 0] * (hh2 * ww2)
 
     def chase(_, carry):
         x, y = carry
-        flat = base + y * ww + x
+        flat = base + (y - 1) * ww2 + (x - 1)
         code = sc_flat[flat]           # (step_y+1)*3 + (step_x+1)
         return x + code % 3 - 1, y + code // 3 - 1
 
     x, y = jax.lax.fori_loop(0, 5, chase, (x, y))
-    flat = base + y * ww + x
-    # ONE row gather for the whole acceptance record instead of five point
-    # gathers (ok, x, y, sigma, resp): point gathers cost ~9 ns/ELEMENT on
-    # TPU, so fetching the packed [., 5] row cuts the tail's gather count 5x
-    vals = jnp.stack([okf.astype(jnp.float32), xf, yf, sigmaf, respf],
-                     axis=-1).reshape(-1, 5)
-    row = vals[flat]
-    ok = (row[:, 0] > 0) & valid
+    flat = base + (y - 1) * ww2 + (x - 1)
+    # five per-field point gathers, NOT one packed [., 5] row gather: the
+    # round-2 packed form saved 4 gathers but the stack(axis=-1) into
+    # minor-dim-5 layout forced a relayout of all five (8,128)-tiled
+    # fields AND anchored them as materialized arrays (blocking the
+    # stencil-chain fusion the interior-slice form above enables)
+    ok = okf.reshape(-1)[flat] & valid
     lvl = (s_dog + s_min).astype(jnp.int32)
-    return ok, row[:, 1], row[:, 2], row[:, 3], lvl, row[:, 4]
+    return (ok, xf.reshape(-1)[flat], yf.reshape(-1)[flat],
+            sigmaf.reshape(-1)[flat], lvl, respf.reshape(-1)[flat])
 
 
 # ------------------------------------------------------------------ gradient
@@ -297,7 +302,14 @@ def polar_gradient(levels: jnp.ndarray) -> jnp.ndarray:
     gy = fy * (yp - ym)
     mod = jnp.sqrt(gx * gx + gy * gy)
     ang = jnp.mod(jnp.arctan2(gy, gx) + TWO_PI, TWO_PI)
-    return jnp.stack([mod, ang], axis=-1)
+    # plane-MAJOR layout [L, 2, H, W]: the walk dispatch slices one plane
+    # per bucket DMA pad — with the old minor-dim-2 interleave
+    # ([L, H, W, 2]) every grad[l, :, :, p] slice was a full-plane
+    # relayout that XLA re-fused into each of the ~12 per-octave bucket
+    # consumers (measured ~3-4 ms/image hidden in the walk stages at
+    # 1440x1080, round 5 — the interleave was the single largest SIFT
+    # cost after the walks themselves)
+    return jnp.stack([mod, ang], axis=1)
 
 
 # --------------------------------------------------------------- orientation
@@ -388,27 +400,62 @@ def orientation_histograms(grad_pad: jnp.ndarray, lvl_idx: jnp.ndarray,
     return orientation_peaks(hist, ok, n_bins, max_angles)
 
 
+_PEAK_OPS: dict = {}
+
+
+def _peak_operators(n_bins: int):
+    """Precomposed circulant operators for orientation_peaks: the 6
+    rounds of circular [1,1,1]/3 smoothing are one linear map C6; the
+    +-1 circular shifts of the smoothed histogram compose into C6 @ R.
+    Applied as [N, n_bins] @ [n_bins, n_bins] MXU matmuls — the iterated
+    jnp.roll form did 14 lane rotations on a 36-wide minor axis, each a
+    lane-unaligned relayout (measured 0.85 ms per level's [4369, 36]
+    batch at 1440x1080, probe sift-base round 5; the matmul form is the
+    same linear operator evaluated in a different f32 summation order)."""
+    import numpy as np
+
+    if n_bins in _PEAK_OPS:
+        return _PEAK_OPS[n_bins]
+    eye = np.eye(n_bins, dtype=np.float64)
+    k3 = (np.roll(eye, 1, axis=0) + eye + np.roll(eye, -1, axis=0)) / 3.0
+    c6 = np.linalg.matrix_power(k3, 6)
+    rm = np.roll(eye, 1, axis=1)     # (h @ rm)[j] = h[(j-1) % n]
+    rp = np.roll(eye, -1, axis=1)    # (h @ rp)[j] = h[(j+1) % n]
+    tri = np.triu(np.ones((n_bins, n_bins)))   # inclusive prefix-sum
+    # cache NUMPY constants (device conversion happens per trace — a
+    # cached jnp array created under jit would leak its tracer)
+    ops = tuple(m.astype(np.float32) for m in (c6, c6 @ rm, c6 @ rp, tri))
+    _PEAK_OPS[n_bins] = ops
+    return ops
+
+
 def orientation_peaks(hist: jnp.ndarray, ok: jnp.ndarray, n_bins: int = 36,
                       max_angles: int = 4):
     """Histogram smoothing + peak extraction (sift.c:1000-1032), shared by
     the XLA and Pallas histogram builders. hist: [N, n_bins] raw histograms,
     ok: [N] keypoint acceptance. Returns (angles [N, max_angles], valid)."""
     n = hist.shape[0]
-    # 6 rounds of circular [1,1,1]/3 smoothing (sift.c:1000-1011)
-    for _ in range(6):
-        hist = (jnp.roll(hist, 1, axis=1) + hist + jnp.roll(hist, -1, axis=1)) / 3.0
+    c6, c6m, c6p, tri = _peak_operators(n_bins)
+    mm = lambda a, b: jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST)
+    # 6 rounds of circular [1,1,1]/3 smoothing (sift.c:1000-1011) and the
+    # +-1 neighbors, as three precomposed-circulant matmuls
+    raw = hist
+    hist = mm(raw, c6)
+    hm = mm(raw, c6m)
+    hp = mm(raw, c6p)
 
     hmax = jnp.max(hist, axis=1, keepdims=True)
-    hm = jnp.roll(hist, 1, axis=1)
-    hp = jnp.roll(hist, -1, axis=1)
     is_peak = (hist > 0.8 * hmax) & (hist > hm) & (hist > hp)
 
     di = -0.5 * (hp - hm) / jnp.where(is_peak, hp + hm - 2 * hist, 1.0)
     bins = jnp.arange(n_bins, dtype=jnp.float32)[None, :]
     th = TWO_PI * (bins + di + 0.5) / n_bins
 
-    # keep the first max_angles peaks in bin order (sift.c:1018-1032)
-    rank = jnp.cumsum(is_peak.astype(jnp.int32), axis=1)
+    # keep the first max_angles peaks in bin order (sift.c:1018-1032);
+    # the inclusive prefix count is exact in f32 (0/1 sums <= n_bins)
+    rank = mm(is_peak.astype(jnp.float32), tri).astype(jnp.int32)
     keep = is_peak & (rank <= max_angles) & ok[:, None]
     # compact each row's kept angles to the front
     order = jnp.where(keep, rank - 1, max_angles + 1)

@@ -31,8 +31,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
+_FLOOR = [0.0]
+
+
 def measure(fn, args, reps=5, k=4):
-    """Amortized device ms/iteration of fn(*args) (scalar-returning)."""
+    """Amortized device ms/iteration of fn(*args) (scalar-returning),
+    with the RPC floor (set by rpc_floor()) subtracted per outer call."""
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -51,7 +55,7 @@ def measure(fn, args, reps=5, k=4):
         t0 = time.perf_counter()
         float(np.asarray(f(*args)))
         ts.append((time.perf_counter() - t0) * 1e3)
-    return float(np.median(ts)) / k
+    return max(float(np.median(ts)) - _FLOOR[0], 0.0) / k
 
 
 def rpc_floor():
@@ -65,7 +69,8 @@ def rpc_floor():
         t0 = time.perf_counter()
         float(np.asarray(f(jnp.float32(0.0))))
         ts.append((time.perf_counter() - t0) * 1e3)
-    return float(np.median(ts))
+    _FLOOR[0] = float(np.median(ts))
+    return _FLOOR[0]
 
 
 def load_gray(hw: int):
@@ -147,7 +152,7 @@ def cmd_sift_stages(args):
 
     def stub_grad(oct_lvls):
         s, h, w = oct_lvls.shape
-        return jnp.zeros((s, h, w, 2), jnp.float32) + oct_lvls[0, 0, 0]
+        return jnp.zeros((s, 2, h, w), jnp.float32) + oct_lvls[0, 0, 0]
 
     results = {}
     results["full"] = timed("full")
@@ -223,8 +228,8 @@ def cmd_desc_ab(args):
         kp_idx, kp_valid = sk.compact_indices(sel, cap_l)
         xl, yl, sl = x[kp_idx], y[kp_idx], sigma[kp_idx]
         r_ori = sk.ori_patch_radius(cfg.sigma0, cfg.n_levels, cfg.s_max, l)
-        mod_o = ps.pad_for_patches(grad[l, :, :, 0], r_ori)
-        ang_o = ps.pad_for_patches(grad[l, :, :, 1], r_ori)
+        mod_o = ps.pad_for_patches(grad[l, 0], r_ori)
+        ang_o = ps.pad_for_patches(grad[l, 1], r_ori)
         n_l = jnp.sum(kp_valid.astype(jnp.int32))[None]
         hist, o_ok = ps.orientation_hist_pallas(
             mod_o, ang_o, xl, yl, sl, n_l, w, h, r_ori, cfg.n_ori_bins)
@@ -260,8 +265,8 @@ def cmd_desc_ab(args):
                 ka_angle[db_idx])
             n_b = jax.block_until_ready(
                 jnp.sum(b_valid.astype(jnp.int32))[None])
-            mod_d = ps.pad_for_patches(grad[l, :, :, 0], r_b)
-            ang_d = ps.pad_for_patches(grad[l, :, :, 1], r_b)
+            mod_d = ps.pad_for_patches(grad[l, 0], r_b)
+            ang_d = ps.pad_for_patches(grad[l, 1], r_b)
             args_p = tuple(map(jax.block_until_ready,
                                (mod_d, ang_d, b_x, b_y, b_sigma, b_angle)))
 
@@ -274,8 +279,8 @@ def cmd_desc_ab(args):
 
             if r_b not in grad_l_pad:
                 grad_l_pad[r_b] = jax.block_until_ready(jnp.pad(
-                    grad[l:l + 1], ((0, 0), (r_b, r_b), (r_b, r_b),
-                                    (0, 0))))
+                    jnp.moveaxis(grad[l:l + 1], 1, -1),
+                    ((0, 0), (r_b, r_b), (r_b, r_b), (0, 0))))
             gp = grad_l_pad[r_b]
             zl = jnp.zeros(cap_b, jnp.int32)
             t_xla = measure(
@@ -438,6 +443,127 @@ def cmd_sift_base(args):
           flush=True)
 
 
+# ------------------------------------------------------------------- plan-ab
+def cmd_plan_ab(args):
+    """Edge-plan cost split at north-star features: bidir match (l2pre at
+    several m), one ransac_warp pair, full plan_edges."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from computervisionimagestich2_tpu.config import DEFAULT_CONFIG
+    from computervisionimagestich2_tpu.models.matcher import (
+        match_features_bidir)
+    from computervisionimagestich2_tpu.models.ransac import ransac_warp
+    from computervisionimagestich2_tpu.models.registration import plan_edges
+    from computervisionimagestich2_tpu.models.sift import sift_extract
+    from computervisionimagestich2_tpu.models.stitcher import (
+        Stitcher, bfs_edge_seq)
+    from computervisionimagestich2_tpu.ops.color import to_gray
+    from computervisionimagestich2_tpu.ops.warp import cylindrical_project
+    from computervisionimagestich2_tpu.utils.io import load_image
+    from scripts.bench_1080p import upscale
+
+    cfg = DEFAULT_CONFIG
+    h, w = (args.hw, args.hw * 3 // 4)
+    images = [upscale(load_image(f"/root/reference/Input/{i}.bmp"), h, w)
+              for i in range(1, 5)]
+    st = Stitcher(cfg)
+    proj, feats = st.prepare(images)
+    jax.block_until_ready(st._feats_stacked)
+    floor = rpc_floor()
+    print(f"floor {floor:.1f} ms", flush=True)
+
+    fa, fb = feats[1], feats[2]
+    for m in (8, 12, 16, 32):
+        t = measure(
+            lambda d: match_features_bidir(
+                fa._replace(desc=d), fb, cfg.match.ratio_threshold,
+                cfg.match.distance, cfg.match.max_matches,
+                cfg.match.pallas, "l2pre", m)[0].src_xy.sum(),
+            (fa.desc,), k=args.k)
+        print(json.dumps({"match_bidir_m": m, "ms": round(t, 3)}),
+              flush=True)
+    t = measure(
+        lambda d: match_features_bidir(
+            fa._replace(desc=d), fb, cfg.match.ratio_threshold,
+            cfg.match.distance, cfg.match.max_matches,
+            cfg.match.pallas, "exact", 16)[0].src_xy.sum(),
+        (fa.desc,), k=args.k)
+    print(json.dumps({"match_bidir_exact": True, "ms": round(t, 3)}),
+          flush=True)
+
+    pairs = match_features_bidir(
+        fa, fb, cfg.match.ratio_threshold, cfg.match.distance,
+        cfg.match.max_matches, cfg.match.pallas, cfg.match.method,
+        cfg.match.l2pre_m)[0]
+    pairs = jax.block_until_ready(pairs)
+    key = jax.random.PRNGKey(0)
+    t = measure(
+        lambda sxy: ransac_warp(
+            pairs._replace(src_xy=sxy), key, cfg.ransac.n_hypotheses,
+            cfg.ransac.threshold, cfg.ransac.n_sample, cfg.warp_model,
+            cfg.ransac.lo_iters)[0].sum(), (pairs.src_xy,), k=args.k)
+    print(json.dumps({"ransac_one_dir_ms": round(t, 3)}), flush=True)
+
+    adj = Stitcher._chain_adjacency(4)
+    edges = jnp.asarray(
+        __import__("numpy").asarray(bfs_edge_seq(adj, 2), "int32"))
+    fs = st._feats_stacked
+    img_hw = tuple(proj[0].shape[:2])
+    t = measure(
+        lambda d: plan_edges(fs._replace(desc=d), edges, img_hw, img_hw,
+                             cfg).sum(), (fs.desc,), k=args.k)
+    print(json.dumps({"plan_edges_ms": round(t, 3)}), flush=True)
+
+
+# ------------------------------------------------------------------- comp-ab
+def cmd_comp_ab(args):
+    """Composite cost split at north-star canvases: one-hot warp vs blend
+    vs seam-band blend per edge."""
+    import numpy as np_
+
+    import jax
+    import jax.numpy as jnp
+
+    from computervisionimagestich2_tpu.config import DEFAULT_CONFIG
+    from computervisionimagestich2_tpu.models.blender import (
+        blend_seam_band, blend_two_images, resolve_dtype)
+    from computervisionimagestich2_tpu.models.stitcher import Stitcher
+    from computervisionimagestich2_tpu.utils.io import load_image
+    from scripts.bench_1080p import upscale
+
+    cfg = DEFAULT_CONFIG
+    h, w = (args.hw, args.hw * 3 // 4)
+    images = [upscale(load_image(f"/root/reference/Input/{i}.bmp"), h, w)
+              for i in range(1, 5)]
+    st = Stitcher(cfg)
+    out = st.stitch(images)
+    floor = rpc_floor()
+    print(f"floor {floor:.1f} ms", flush=True)
+
+    # biggest-canvas blend A/B: reuse the final canvas vs itself shifted
+    a = jnp.asarray(out, jnp.float32)
+    b = jnp.roll(a, w // 3, axis=1)
+    ch, cw = a.shape[:2]
+    dt = resolve_dtype("auto", ch, cw)
+    t_full = measure(
+        lambda x: blend_two_images(x, b, cfg.blend.level_mode,
+                                   cfg.blend.blur_sigma, "fir", None,
+                                   dt).sum(), (a,), k=args.k)
+    print(json.dumps({"canvas": [ch, cw], "blend_full_ms": round(t_full, 3),
+                      "dtype": dt}), flush=True)
+    for band in (128, 256):
+        t_band = measure(
+            lambda x: blend_seam_band(x, b, band, cfg.blend.level_mode,
+                                      cfg.blend.blur_sigma, "fir", None,
+                                      resolve_dtype("auto", ch, 4 * band))
+            .sum(), (a,), k=args.k)
+        print(json.dumps({"blend_seam_band": band,
+                          "ms": round(t_band, 3)}), flush=True)
+
+
 # ----------------------------------------------------------------- detect-ab
 def cmd_detect_ab(args):
     import jax
@@ -488,7 +614,8 @@ def cmd_detect_ab(args):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("cmd", choices=["sift-stages", "desc-ab", "detect-ab",
-                                    "refine-ab", "sift-base"])
+                                    "refine-ab", "sift-base", "plan-ab",
+                                    "comp-ab"])
     ap.add_argument("--hw", type=int, default=1440)
     ap.add_argument("--k", type=int, default=4)
     args = ap.parse_args()
@@ -499,7 +626,8 @@ def main():
 
     {"sift-stages": cmd_sift_stages, "desc-ab": cmd_desc_ab,
      "detect-ab": cmd_detect_ab, "refine-ab": cmd_refine_ab,
-     "sift-base": cmd_sift_base}[args.cmd](args)
+     "sift-base": cmd_sift_base, "plan-ab": cmd_plan_ab,
+     "comp-ab": cmd_comp_ab}[args.cmd](args)
 
 
 if __name__ == "__main__":

@@ -126,7 +126,7 @@ def main() -> int:
                                  cfg.match.distance, cfg.match.max_matches,
                                  cfg.match.pallas, cfg.match.method,
                                  cfg.match.l2pre_m)
-        float(np.asarray(m[0].count))
+        float(np.asarray(m[0].count()))
 
     stage("match_bidir", run_match)
 
