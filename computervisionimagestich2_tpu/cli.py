@@ -47,6 +47,9 @@ def build_config(args):
         cfg = dataclasses.replace(
             cfg, blend=dataclasses.replace(cfg.blend,
                                            seam_band=args.seam_band))
+    if args.no_seam_auto:
+        cfg = dataclasses.replace(
+            cfg, blend=dataclasses.replace(cfg.blend, seam_auto_area=0))
     if args.match_method != "auto" or args.l2pre_m:
         mrepl = {"method": args.match_method}
         if args.l2pre_m:
@@ -90,6 +93,10 @@ def make_parser() -> argparse.ArgumentParser:
                         "over ~1.5 Mpx (measured ~2.2x there), f32 below; "
                         "f32 = parity mode; bf16 = force reduced precision "
                         "(a few u8 levels of rounding in smooth gradients)")
+    p.add_argument("--no-seam-auto", action="store_true",
+                   help="disable the area-gated automatic seam-band blend "
+                        "(BlendConfig.seam_auto_area): full-canvas "
+                        "reference blend at EVERY canvas size")
     p.add_argument("--seam-band", type=int, default=0, metavar="PX",
                    help="pyramid-blend only a 4*PX-wide window at each "
                         "seam, copying the rest (O(H x band) per edge "

@@ -115,11 +115,15 @@ class MatchConfig:
     # recall, present even at m=32/HIGHEST. The reference's kd-forest ANN
     # (vl/kdtree.c) is far noisier than any of these.
     method: str = "auto"
-    # candidates rescored per query: m=16 = 4.05 ms/edge bidirectional at
-    # honest 1440x1080 caps (m=32: 8.5 ms; the rescore's candidate-row
-    # gather is the cost, linear in m). 5 total decision diffs over the
-    # 40-direction oracle sweep; "--match-method exact" for parity runs.
-    l2pre_m: int = 16
+    # candidates rescored per query: rescore cost is linear in m (the
+    # candidate-row gather dominates). Round-5 sweep (probe
+    # match-fidelity, same 40 directed pairs as round 4, round-5
+    # detector): m=12 and m=16 are decision-IDENTICAL (10 diffs each vs
+    # the exact-L1 oracle over ~300k queries — the residual approx_min_k
+    # recall noise, present at every m); m=8 is 15. m=12 at measured
+    # 1.13 ms/edge bidir vs 16's 1.6-2.7; "--match-method exact" for
+    # parity runs.
+    l2pre_m: int = 12
     # the ordering stage needs only pair COUNTS vs THRESHOLD=20
     # (ImageProcess.cpp:117-137); m=8 halves its rescore again (2.07
     # ms/pair bidir, 8 total decision diffs over the sweep — count noise
@@ -197,6 +201,22 @@ class BlendConfig:
     # blend cost becomes O(H x band) instead of O(H x W_canvas), the
     # OpenCV-MultiBandBlender-style extension for long chains.
     seam_band: int = 0
+    # Area-gated automatic seam-band (like the bf16 "auto" policy): when
+    # seam_band == 0 and the blend canvas exceeds seam_auto_area pixels,
+    # blend a 4*seam_auto_band window at the seam instead of the full
+    # canvas. Rationale: the full-canvas pyramid re-blends O(H x W_total)
+    # per edge for a seam that moved one image width (reference behavior,
+    # ImageProcess.cpp:648-773) — at north-star canvases that is 7.2 ms
+    # vs 1.6 ms for the window (probe comp-ab round 5), and the outputs
+    # differ only in how far the low-frequency luma ramp spreads from
+    # the seam (measured MAD vs the full blend recorded in RESULTS.md).
+    # Every golden-parity canvas (dataset1, 0.56 Mpx) sits far below the
+    # gate and still takes the reference's exact full blend.
+    # seam_auto_area=0 disables the policy (strict reference behavior at
+    # every size); pair big exposure-mismatched sets with
+    # gain_compensation (the narrow band cannot hide exposure steps).
+    seam_auto_area: int = 2_000_000
+    seam_auto_band: int = 256
 
 
 @dataclasses.dataclass(frozen=True)

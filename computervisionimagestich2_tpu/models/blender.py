@@ -177,6 +177,32 @@ def blend_stacked(s0: jnp.ndarray, levels: int,
     return expand.astype(jnp.float32)
 
 
+def seam_auto_engaged(bcfg, h: int, w: int) -> bool:
+    """Trace-time: does the area-gated automatic seam-band policy apply
+    to an h x w blend canvas under this BlendConfig?"""
+    return bool(bcfg.seam_band == 0
+                and getattr(bcfg, "seam_auto_area", 0)
+                and h * w > bcfg.seam_auto_area)
+
+
+def apply_composite_gain(a: jnp.ndarray, b: jnp.ndarray, bcfg,
+                         h: int, w: int) -> jnp.ndarray:
+    """Gain-compensate the incoming canvas ``a`` toward ``b`` when asked
+    for — and ALWAYS when the seam-auto policy engages for this canvas:
+    the full-canvas pyramid smears per-frame exposure differences across
+    the whole panorama, a narrow seam band cannot, so without gain the
+    seam shows as a vertical exposure step (verified visually on the
+    1080p bench panorama, round 5). Seam-auto-implied gain uses "rgb"
+    (removes tint steps too); explicit gain keeps the user's mode."""
+    auto = seam_auto_engaged(bcfg, h, w)
+    if not (bcfg.gain_compensation or auto):
+        return a
+    from .gain import gain_compensate
+
+    return gain_compensate(
+        a, b, bcfg.gain_mode if bcfg.gain_compensation else "rgb")
+
+
 def blend_edge(a: jnp.ndarray, b: jnp.ndarray, bcfg,
                content_h: jnp.ndarray | int | None = None) -> jnp.ndarray:
     """Config-driven blend dispatch: the reference's full-canvas pyramid
@@ -184,12 +210,29 @@ def blend_edge(a: jnp.ndarray, b: jnp.ndarray, bcfg,
     Resolves the "auto" precision policy against BlendConfig's area
     threshold (the seam-band path resolves on its window instead)."""
     thr = getattr(bcfg, "bf16_auto_area", AUTO_BF16_AREA)
-    if bcfg.seam_band > 0:
-        wb = 4 * bcfg.seam_band
-        return blend_seam_band(a, b, bcfg.seam_band, bcfg.level_mode,
+    band = bcfg.seam_band
+    if band == 0:
+        # area-gated automatic seam-band (BlendConfig.seam_auto_area):
+        # full-canvas reference blend below the gate, seam-window blend
+        # above it. The window dtype resolves on the WINDOW area but is
+        # pinned to the full-canvas policy's choice so the gate cannot
+        # flip a big canvas back to f32 (probe comp-ab: the band-128
+        # window under 1.5 Mpx resolved f32 and ran 2.8x slower than the
+        # band-256 bf16 window).
+        auto_area = getattr(bcfg, "seam_auto_area", 0)
+        if auto_area and int(a.shape[0]) * int(a.shape[1]) > auto_area:
+            band = getattr(bcfg, "seam_auto_band", 256)
+    if band > 0:
+        wb = 4 * band
+        dt = resolve_dtype(bcfg.dtype, int(a.shape[0]),
+                           min(wb, int(a.shape[1])), thr)
+        if (bcfg.seam_band == 0 and bcfg.dtype == "auto"
+                and resolve_dtype("auto", int(a.shape[0]),
+                                  int(a.shape[1]), thr) == "bf16"):
+            dt = "bf16"
+        return blend_seam_band(a, b, band, bcfg.level_mode,
                                bcfg.blur_sigma, bcfg.blur_impl, content_h,
-                               resolve_dtype(bcfg.dtype, int(a.shape[0]),
-                                             min(wb, int(a.shape[1])), thr))
+                               dt)
     return blend_two_images(a, b, bcfg.level_mode, bcfg.blur_sigma,
                             bcfg.blur_impl, content_h,
                             resolve_dtype(bcfg.dtype, int(a.shape[0]),

@@ -105,10 +105,9 @@ def _composite_and_blend(proj_dst, result, bwd, min_x, min_y,
                        model=cfg.warp_model)
     b = shift_image(result, min_x.astype(jnp.int32), min_y.astype(jnp.int32),
                     out_shape=comp_hw)
-    if cfg.blend.gain_compensation:
-        from .gain import gain_compensate
+    from .blender import apply_composite_gain
 
-        a = gain_compensate(a, b, cfg.blend.gain_mode)
+    a = apply_composite_gain(a, b, cfg.blend, comp_hw[0], comp_hw[1])
     blended = blend_edge(a, b, cfg.blend, out_hw[0])
     return trunc_u8(blended[:out_hw[0], :out_hw[1]])
 
@@ -230,13 +229,16 @@ class Stitcher:
 
             if _pallas_enabled(cfg.sift):
                 # B pipelined dispatches of one compiled per-image program
-                # (the Pallas keypoint walks don't vmap). Per-image u8
-                # uploads interleave with the dispatches so the host link
-                # transfers image i+1 while the chip runs SIFT on image i.
-                outs = []
-                for img in images:
-                    dev = jnp.asarray(np.ascontiguousarray(np.asarray(img)))
-                    outs.append(_project_and_extract_one(dev, cfg))
+                # (the Pallas keypoint walks don't vmap). ONE stacked u8
+                # upload feeds all dispatches: the per-image-upload form
+                # paid one tunnel RPC floor (~27 ms) per image while the
+                # chip idled (device SIFT ~12 ms vs ~100 ms of link time
+                # per 1080p frame — the link, not the device, is the
+                # bottleneck either way; batching drops B-1 floors).
+                batch = jnp.asarray(np.stack(
+                    [np.ascontiguousarray(np.asarray(i)) for i in images]))
+                outs = [_project_and_extract_one(batch[i], cfg)
+                        for i in range(len(images))]
                 feats = [o[0] for o in outs]
                 projected = [o[1] for o in outs]
                 self._log_sift_overflow([o[2] for o in outs])

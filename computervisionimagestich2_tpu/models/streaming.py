@@ -124,6 +124,9 @@ class StreamingStitcher:
         a, b = compose.composite(img, self._result, backward,
                                  min_x, min_y, (new_h, new_w),
                                  cfg.warp_model)
+        from .blender import apply_composite_gain
+
+        a = apply_composite_gain(a, b, cfg.blend, new_h, new_w)
         blended = blend_edge(a, b, cfg.blend, ext_h)
         self._result = trunc_u8(blended)
 

@@ -160,10 +160,9 @@ def _stitch_one_fixed(images: jnp.ndarray, cfg: StitchConfig,
                        out_shape=canvas_hw, model=cfg.warp_model)
         b = shift_image(result, min_x.astype(jnp.int32),
                         min_y.astype(jnp.int32), out_shape=canvas_hw)
-        if cfg.blend.gain_compensation:
-            from ..models.gain import gain_compensate
+        from ..models.blender import apply_composite_gain
 
-            a = gain_compensate(a, b, cfg.blend.gain_mode)
+        a = apply_composite_gain(a, b, cfg.blend, hc, wc)
         result = trunc_u8(blend_edge(a, b, cfg.blend, new_h))
     return result, plan
 

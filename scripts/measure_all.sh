@@ -33,7 +33,7 @@ run() {  # run <name> <cmd...>
 
 run bench           python bench.py
 run device_stages   python scripts/bench_device_stages.py
-run sift_breakdown  python scripts/bench_sift_breakdown.py
+run sift_stages     python scripts/probe.py sift-stages
 run device_1080p    python scripts/bench_1080p.py
 run configs         python scripts/bench_configs.py
 run datasets        python scripts/bench_datasets.py

@@ -507,15 +507,112 @@ def cmd_plan_ab(args):
             cfg.ransac.lo_iters)[0].sum(), (pairs.src_xy,), k=args.k)
     print(json.dumps({"ransac_one_dir_ms": round(t, 3)}), flush=True)
 
+    from computervisionimagestich2_tpu.models.registration import (
+        register_edge)
+
+    t = measure(
+        lambda d: sum(jnp.sum(x) for x in register_edge(
+            fa._replace(desc=d), fb, cfg, 7)[:2]), (fa.desc,), k=args.k)
+    print(json.dumps({"register_edge_ms": round(t, 3)}), flush=True)
+
     adj = Stitcher._chain_adjacency(4)
-    edges = jnp.asarray(
-        __import__("numpy").asarray(bfs_edge_seq(adj, 2), "int32"))
     fs = st._feats_stacked
     img_hw = tuple(proj[0].shape[:2])
-    t = measure(
-        lambda d: plan_edges(fs._replace(desc=d), edges, img_hw, img_hw,
-                             cfg).sum(), (fs.desc,), k=args.k)
-    print(json.dumps({"plan_edges_ms": round(t, 3)}), flush=True)
+    edges_all = np.asarray(bfs_edge_seq(adj, 2), np.int32).reshape(-1, 3)
+    for ne in (1, 3):
+        edges = jnp.asarray(edges_all[:ne])
+        t = measure(
+            lambda d: plan_edges(fs._replace(desc=d), edges, img_hw,
+                                 img_hw, cfg).sum(), (fs.desc,), k=args.k)
+        print(json.dumps({"plan_edges_n": ne, "ms": round(t, 3)}),
+              flush=True)
+
+
+# -------------------------------------------------------------- match-fidelity
+def cmd_match_fidelity(args):
+    """l2pre decision diffs vs the exact-L1 oracle over the round-4
+    evidence base (6 north-star 1440x1080 directions + 34 dataset2
+    adjacent directions), at m in {8, 12, 16} with the DEFAULT-precision
+    selection matmul (the production path). Port of the round-4
+    bench_r4_probe3 section A with m=12 added."""
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+
+    from computervisionimagestich2_tpu.config import DEFAULT_CONFIG
+    from computervisionimagestich2_tpu.models.sift import sift_extract
+    from computervisionimagestich2_tpu.ops import distance as D
+    from computervisionimagestich2_tpu.ops.color import to_gray
+    from computervisionimagestich2_tpu.ops.warp import cylindrical_project
+    from computervisionimagestich2_tpu.utils.io import load_image
+    from scripts.bench_1080p import upscale
+
+    cfg = DEFAULT_CONFIG
+    ratio = cfg.match.ratio_threshold
+
+    def extract(im):
+        g = to_gray(cylindrical_project(jnp.asarray(im, jnp.float32),
+                                        cfg.projection.angle_deg))
+        return sift_extract(g, cfg.sift)
+
+    @jax.jit
+    def exact_decisions(q, r, qv, rv):
+        nq = q.shape[0]
+        oks, i1s = [], []
+        for s in range(0, nq, 512):
+            qc = q[s:s + 512]
+            d = jnp.sum(jnp.abs(qc[:, None, :] - r[None, :, :]), axis=-1)
+            d = jnp.where(rv[None, :], d, 3e38)
+            i1 = jnp.argmin(d, axis=1)
+            d1 = jnp.min(d, axis=1)
+            cols = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+            d2 = jnp.min(jnp.where(cols == i1[:, None], 3e38, d), axis=1)
+            oks.append((d1 / d2) < ratio)
+            i1s.append(i1)
+        return jnp.concatenate(oks) & qv, jnp.concatenate(i1s)
+
+    @partial(jax.jit, static_argnames=("m",))
+    def l2pre_decisions(q, r, qv, rv, m):
+        d1, d2, i1 = D._l2pre_one_direction(
+            q, r, qv, rv, m, jax.lax.Precision.DEFAULT)
+        ok = ((d1 / d2) < ratio) & qv & (d2 < 3e38)
+        return ok, i1
+
+    def diff_count(a, b):
+        (ok_a, i_a), (ok_b, i_b) = a, b
+        return int(np.asarray(jnp.sum(
+            ((ok_a != ok_b) | (ok_a & (i_a != i_b))).astype(jnp.int32))))
+
+    ms_list = (8, 12, 16)
+    totals = {m: 0 for m in ms_list}
+    n_dirs = 0
+
+    def run_pairs(feats, pairs, tag):
+        nonlocal n_dirs
+        for (a, b) in pairs:
+            for (qi, ri) in ((a, b), (b, a)):
+                q, r = feats[qi].desc, feats[ri].desc
+                qv, rv = feats[qi].valid, feats[ri].valid
+                ref = exact_decisions(q, r, qv, rv)
+                row = {}
+                for m in ms_list:
+                    d = diff_count(ref, l2pre_decisions(q, r, qv, rv, m))
+                    totals[m] += d
+                    row[m] = d
+                n_dirs += 1
+                print(f"[{tag}] {qi}->{ri}: {row}", flush=True)
+
+    ns = [extract(upscale(load_image(f"/root/reference/Input/{i}.bmp"),
+                          1440, 1080)) for i in range(1, 5)]
+    run_pairs(ns, [(0, 1), (1, 2), (2, 3)], "ns")
+    d2f = [extract(load_image(
+        f"/root/reference/src/ex6/dataset2/{i}.bmp")) for i in range(1, 19)]
+    run_pairs(d2f, [(i, i + 1) for i in range(17)], "d2")
+    print(json.dumps({"n_directions": n_dirs,
+                      "diff_totals": {str(k): v
+                                      for k, v in totals.items()}}),
+          flush=True)
 
 
 # ------------------------------------------------------------------- comp-ab
@@ -558,10 +655,61 @@ def cmd_comp_ab(args):
         t_band = measure(
             lambda x: blend_seam_band(x, b, band, cfg.blend.level_mode,
                                       cfg.blend.blur_sigma, "fir", None,
-                                      resolve_dtype("auto", ch, 4 * band))
-            .sum(), (a,), k=args.k)
+                                      "bf16").sum(), (a,), k=args.k)
         print(json.dumps({"blend_seam_band": band,
                           "ms": round(t_band, 3)}), flush=True)
+
+    # fused composite+blend per real planned edge, seam-auto ON vs OFF —
+    # the exact dispatch bench_northstar times
+    import dataclasses
+
+    import numpy as np_r
+
+    from computervisionimagestich2_tpu.models import compose
+    from computervisionimagestich2_tpu.models.registration import plan_edges
+    from computervisionimagestich2_tpu.models.stitcher import (
+        _composite_and_blend, bfs_edge_seq)
+    from computervisionimagestich2_tpu.ops.warp import (cylindrical_project,
+                                                        plan_edge_warp)
+
+    proj = [cylindrical_project(jnp.asarray(im, jnp.float32),
+                                cfg.projection.angle_deg) for im in images]
+    feats = st._matching_feats()
+    adj = Stitcher._chain_adjacency(len(images))
+    edge_seq = bfs_edge_seq(adj, Stitcher._middle_index(adj))
+    edges = jnp.asarray(np_r.asarray(edge_seq, np_r.int32).reshape(-1, 3))
+    img_hw = tuple(proj[0].shape[:2])
+    plan = np_r.asarray(plan_edges(feats, edges, img_hw, img_hw, cfg))
+    cfg_off = dataclasses.replace(cfg, blend=dataclasses.replace(
+        cfg.blend, seam_auto_area=0))
+
+    result = proj[Stitcher._middle_index(adj)]
+    for e, (_s, dst_i, _p) in enumerate(edge_seq):
+        bwd = jnp.asarray(plan[e, 9:17])
+        min_x, min_y = float(plan[e, 18]), float(plan[e, 19])
+        new_w, new_h = int(plan[e, 20]), int(plan[e, 21])
+        comp_hw = (new_h, new_w)
+        wplan = plan_edge_warp(plan[e, 9:17], comp_hw, min_x, min_y,
+                               proj[dst_i].shape[:2], cfg.warp_model,
+                               allow_onehot=True)
+        starts = None
+        if wplan is not None and wplan[0] == "onehot":
+            starts = wplan[1]
+            wplan = ("onehot",) + tuple(wplan[2:])
+        row = {}
+        for tag, c in (("auto", cfg), ("off", cfg_off)):
+            row[tag] = round(measure(
+                lambda res, pd, bw: _composite_and_blend(
+                    pd, res, bw, jnp.float32(min_x), jnp.float32(min_y),
+                    comp_hw, (new_h, new_w), c, wplan, starts).sum()
+                .astype(jnp.float32),
+                (result, proj[dst_i], bwd), k=args.k), 3)
+        print(json.dumps({"edge": e, "canvas": [new_h, new_w],
+                          "composite_ms": row}), flush=True)
+        result = jax.block_until_ready(_composite_and_blend(
+            proj[dst_i], result, bwd, jnp.float32(min_x),
+            jnp.float32(min_y), comp_hw, (new_h, new_w), cfg, wplan,
+            starts))
 
 
 # ----------------------------------------------------------------- detect-ab
@@ -615,7 +763,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("cmd", choices=["sift-stages", "desc-ab", "detect-ab",
                                     "refine-ab", "sift-base", "plan-ab",
-                                    "comp-ab"])
+                                    "comp-ab", "match-fidelity"])
     ap.add_argument("--hw", type=int, default=1440)
     ap.add_argument("--k", type=int, default=4)
     args = ap.parse_args()
@@ -627,7 +775,8 @@ def main():
     {"sift-stages": cmd_sift_stages, "desc-ab": cmd_desc_ab,
      "detect-ab": cmd_detect_ab, "refine-ab": cmd_refine_ab,
      "sift-base": cmd_sift_base, "plan-ab": cmd_plan_ab,
-     "comp-ab": cmd_comp_ab}[args.cmd](args)
+     "comp-ab": cmd_comp_ab,
+     "match-fidelity": cmd_match_fidelity}[args.cmd](args)
 
 
 if __name__ == "__main__":

@@ -66,6 +66,7 @@ def test_descriptor_matches_xla(scene):
                                atol=2e-6)
 
 
+@pytest.mark.slow
 def test_dead_slots_zeroed(scene):
     h, w, mod, ang, n, nv, x, y, sig, a0 = scene
     r = 10

@@ -34,6 +34,7 @@ def test_sharded_blur_matches_single_device(rng):
     np.testing.assert_allclose(got, expect, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_sharded_blend_matches_single_device(rng):
     """The row-sharded halo-exchange blend must reproduce the single-device
     pyramid blend (SURVEY.md §5 'shard the canvas compositing') — overlap
@@ -312,6 +313,7 @@ def test_stitcher_mesh_mode_matches_single_device():
     assert diff.max() <= 16, diff.max()
 
 
+@pytest.mark.slow
 def test_stitcher_mesh_mode_with_pallas_interpret_kernels():
     """Mesh mode + the PALLAS kernel code path (interpret mode).
 

@@ -60,6 +60,7 @@ def cimg_recursive_apply_0(data, filt):
     return data
 
 
+@pytest.mark.slow
 def test_axis_matches_cimg_loop():
     rng = np.random.default_rng(3)
     big_b, f1, f2, f3 = _vanvliet_coefs(2.0)
