@@ -250,6 +250,14 @@ class StitchConfig:
     # (ImageProcess.cpp:101-147); "chain" = ex6's pre-ordered left-to-right
     # adjacency (src/ex6/ImageProcess.cpp:150-159).
     ordering: str = "graph"
+    # Dense-graph BFS behavior: "skip" (default) stitches each image
+    # exactly once (spanning tree — identical to the reference whenever
+    # its run would not re-stitch, i.e. every golden/parity set);
+    # "faithful" reproduces the reference's unguarded BFS, which
+    # re-stitches images on dense graphs with a canvas-frame model
+    # applied to image pixels and dies on the resulting canvas
+    # (models/stitcher.py::bfs_edge_seq).
+    graph_revisit: str = "skip"
     # Per-edge Reinhard color transfer of the incoming image toward its
     # stitch partner — the reference compiles transfer.cpp in and has this
     # exact call commented out in the stitch loop (ImageProcess.cpp:180:

@@ -31,7 +31,8 @@ from ..ops.warp import warp_points, warp_xy
 def ransac_warp(pairs: MatchPairs, key: jax.Array,
                 n_hypotheses: int = 128, threshold: float = 4.0,
                 n_sample: int = 4, model: str = "bilinear",
-                lo_iters: int = 0):
+                lo_iters: int = 0, corner_xy: jnp.ndarray | None = None,
+                corner_span: jnp.ndarray | float | None = None):
     """Returns (coeffs, inlier_mask [N], n_inliers scalar). ``model`` picks
     the warp family: 'bilinear' (8 coeffs, reference behavior) or
     'projective' (9 coeffs, normalized DLT).
@@ -43,7 +44,19 @@ def ransac_warp(pairs: MatchPairs, key: jax.Array,
     no LO (its refit is final, ImageProcess.cpp:500-529); rounds that do
     not grow the consensus keep the previous model bit-for-bit, so lo_iters
     only ever moves the result toward a larger-consensus basin (the golden
-    drift isolated by scripts/parity_refit.py, VERDICT r3 ask #6)."""
+    drift isolated by scripts/parity_refit.py, VERDICT r3 ask #6).
+
+    ``corner_xy`` ([4, 2], optional): degenerate-model gate — a
+    hypothesis whose warp maps these points (the incoming image's
+    corners) further than ``corner_span`` from the valid pairs' bounding
+    box scores ZERO inliers. A near-singular 4-point model can fit its
+    own sample well while exploding at the image corners; the reference
+    has no such guard and occasionally emits a canvas it cannot allocate
+    (its catastrophic seeds, GOLDEN_ENVELOPE.md) — round 5 reproduced a
+    45 GB canvas on dataset2 graph mode. The gate never fires on sane
+    models (legitimate panorama warps keep corners within ~one image
+    diagonal of the matched region), so clean registrations are
+    bit-identical with or without it."""
     solve_fn = solve_warp if model == "bilinear" else solve_projective
     valid_f = pairs.valid.astype(jnp.float32)
     n_valid = jnp.maximum(jnp.sum(valid_f), 1.0)
@@ -78,6 +91,31 @@ def ransac_warp(pairs: MatchPairs, key: jax.Array,
     inliers = (dist < threshold) & pairs.valid[None, :]
     counts = jnp.sum(inliers.astype(jnp.int32), axis=1)   # [K]
 
+    if corner_xy is not None:
+        # degenerate-model gate (see docstring): corners of the incoming
+        # image under each hypothesis must stay within corner_span of the
+        # valid pairs' bbox; nan/inf corners fail the comparison too
+        # the model maps src_xy -> dst_xy, so warped corners live in the
+        # DST frame: bound them against the valid pairs' dst bbox
+        big = 3e38
+        dxv = jnp.where(pairs.valid, pairs.dst_xy[:, 0], big)
+        dyv = jnp.where(pairs.valid, pairs.dst_xy[:, 1], big)
+        lo_x = jnp.min(dxv) - corner_span
+        lo_y = jnp.min(dyv) - corner_span
+        hi_x = jnp.max(jnp.where(pairs.valid, pairs.dst_xy[:, 0], -big)) \
+            + corner_span
+        hi_y = jnp.max(jnp.where(pairs.valid, pairs.dst_xy[:, 1], -big)) \
+            + corner_span
+        cxw, cyw = jax.vmap(lambda c: warp_points(
+            c, corner_xy[:, 0], corner_xy[:, 1], model))(coeffs_k)
+        sane = jnp.all((cxw >= lo_x) & (cxw <= hi_x)
+                       & (cyw >= lo_y) & (cyw <= hi_y), axis=1)   # [K]
+        # zero the MASKS too, not just the counts: the refit/LO chain
+        # runs on inliers[best] and would resurrect a gated hypothesis's
+        # consensus otherwise
+        inliers = inliers & sane[:, None]
+        counts = jnp.where(sane, counts, 0)
+
     best = jnp.argmax(counts)
     best_mask = inliers[best]
 
@@ -108,6 +146,21 @@ def ransac_warp(pairs: MatchPairs, key: jax.Array,
         coeffs = jnp.where(grow, coeffs2, coeffs)
         mask = jnp.where(grow, mask2, mask)
         count = jnp.maximum(count2, count)
+
+    if corner_xy is not None:
+        # the REFIT can also go degenerate (a small near-collinear inlier
+        # set makes the xy-term of the least squares explode — dataset2
+        # graph mode's spurious 20-match edges, round 5); if the final
+        # model fails the corner check, fall back to the gate-passing
+        # best 4-point hypothesis. No-op for sane refits.
+        fxw, fyw = warp_points(coeffs, corner_xy[:, 0], corner_xy[:, 1],
+                               model)
+        f_ok = jnp.all((fxw >= lo_x) & (fxw <= hi_x)
+                       & (fyw >= lo_y) & (fyw <= hi_y)
+                       & jnp.isfinite(fxw) & jnp.isfinite(fyw))
+        coeffs = jnp.where(f_ok, coeffs, coeffs_k[best])
+        mask = jnp.where(f_ok, mask, inliers[best])
+        count = jnp.where(f_ok, count, counts[best])
     return coeffs, mask, count
 
 

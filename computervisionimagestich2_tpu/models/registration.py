@@ -23,16 +23,23 @@ from .matcher import match_features_bidir
 from .ransac import ransac_warp
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg", "img_hw"))
 def register_edge(feats_src: Features, feats_dst: Features,
-                  cfg: StitchConfig, edge_id: jnp.ndarray | int = 0):
+                  cfg: StitchConfig, edge_id: jnp.ndarray | int = 0,
+                  img_hw: tuple[int, int] | None = None):
     """Returns (forward, backward, n_matches): forward maps dst-image coords
     into the src/result frame; backward maps canvas coords into dst-image
     coords. n_matches is the larger direction's match count.
 
     edge_id decorrelates the RANSAC draws across edges (fold_in); each
     direction additionally folds its own tag so forward/backward never share
-    sample indices. Deterministic across runs for a fixed seed."""
+    sample indices. Deterministic across runs for a fixed seed.
+
+    img_hw (static, optional): the incoming image's (H, W). When given,
+    the FORWARD RANSAC gates out degenerate hypotheses whose warp maps
+    the image corners more than 4 image diagonals outside the matched
+    region (ransac_warp corner gate) — forward feeds the canvas planner,
+    where a near-singular model means an unallocatable canvas."""
     mcfg = cfg.match
     # both directions from one distance evaluation (the reference rebuilds
     # the kd-forest per direction, ImageProcess.cpp:185-198)
@@ -57,9 +64,20 @@ def register_edge(feats_src: Features, feats_dst: Features,
                              jnp.asarray(edge_id, jnp.uint32))
     key_fwd = jax.random.fold_in(key, 0)
     key_bwd = jax.random.fold_in(key, 1)
+    if img_hw is not None:
+        import math as _math
+
+        h_img, w_img = img_hw
+        corner_xy = jnp.asarray(
+            [[0.0, 0.0], [w_img - 1.0, 0.0], [0.0, h_img - 1.0],
+             [w_img - 1.0, h_img - 1.0]], jnp.float32)
+        corner_span = 4.0 * _math.hypot(float(w_img), float(h_img))
+    else:
+        corner_xy = corner_span = None
     forward, _, _ = ransac_warp(d2s_final, key_fwd, cfg.ransac.n_hypotheses,
                                 cfg.ransac.threshold, cfg.ransac.n_sample,
-                                cfg.warp_model, cfg.ransac.lo_iters)
+                                cfg.warp_model, cfg.ransac.lo_iters,
+                                corner_xy, corner_span)
     backward, _, _ = ransac_warp(s2d_final, key_bwd, cfg.ransac.n_hypotheses,
                                  cfg.ransac.threshold, cfg.ransac.n_sample,
                                  cfg.warp_model, cfg.ransac.lo_iters)
@@ -147,7 +165,7 @@ def plan_edges(feats_stacked: Features, edges: jnp.ndarray,
         f_dst = at_img(dst)
         # (src, dst) is unique per edge -> distinct RANSAC draws per edge
         fwd, bwd, _, ovf = register_edge(f_src, f_dst, cfg,
-                                         src * 65536 + dst)
+                                         src * 65536 + dst, img_hw)
         min_x, min_y, new_w, new_h = _canvas_bounds(
             fwd, w_img, h_img, cur_w, cur_h, cfg.warp_model)
         f_dst = update_features_by_warp(f_dst, fwd, min_x, min_y,

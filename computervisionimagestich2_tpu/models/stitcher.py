@@ -112,16 +112,31 @@ def _composite_and_blend(proj_dst, result, bwd, min_x, min_y,
     return trunc_u8(blended[:out_hw[0], :out_hw[1]])
 
 
-def bfs_edge_seq(adj: list[list[bool]], start: int) -> list[tuple[int, int, int]]:
+def bfs_edge_seq(adj: list[list[bool]], start: int,
+                 revisit: str = "skip") -> list[tuple[int, int, int]]:
     """BFS stitch order from ``start`` (ImageProcess.cpp:149-236): returns
     (src, dst, pre) edge triples, where pre is the previously stitched
     image whose features get the offset-only update (cpp:226-227).
     Consumes ``adj`` (edges are cleared as visited) — pass a copy to keep it.
+
+    ``revisit``: the reference clears edges pairwise but has NO
+    visited-node guard (cpp:170-174) — on a dense match graph it
+    re-stitches an already-placed image, solving a model between two
+    CANVAS-frame feature sets and applying it to the ORIGINAL image
+    pixels: coordinates explode and the canvas allocation dies (round 5
+    reproduced a 19-billion-pixel plan on dataset3 graph mode; the
+    reference author only ever ran graph mode on the 4-image sparse
+    set). "skip" (default) emits a spanning TREE — each image stitched
+    exactly once, bit-identical to the reference whenever its own run
+    would not re-stitch (every golden/parity set) and a correct
+    panorama where the reference would crash. "faithful" reproduces the
+    reference's re-stitch behavior for semantics studies.
     """
     n = len(adj)
     neighbors = [[j for j in range(n) if adj[i][j]] for i in range(n)]
     edge_seq = []
     pre = start
+    visited = {start}
     queue = deque([start])
     while queue:
         src_i = queue.popleft()
@@ -129,6 +144,9 @@ def bfs_edge_seq(adj: list[list[bool]], start: int) -> list[tuple[int, int, int]
             if not adj[src_i][dst_i]:
                 continue
             adj[src_i][dst_i] = adj[dst_i][src_i] = False
+            if revisit == "skip" and dst_i in visited:
+                continue
+            visited.add(dst_i)
             queue.append(dst_i)
             edge_seq.append((src_i, dst_i, pre))
             pre = dst_i
@@ -372,7 +390,8 @@ class Stitcher:
         # one fused device program (matching x2 + swap + RANSAC x2), one
         # 16-float readback — host<->device sync dominates on tunneled TPUs
         forward, backward, _, ovf = register_edge(
-            feats[src_i], feats[dst_i], cfg, src_i * 65536 + dst_i)
+            feats[src_i], feats[dst_i], cfg, src_i * 65536 + dst_i,
+            tuple(projected[dst_i].shape[:2]))
         if int(np.asarray(ovf)) > 0:
             obs.warn("match_overflow", src=src_i, dst=dst_i,
                     dropped=int(np.asarray(ovf)),
@@ -416,6 +435,34 @@ class Stitcher:
         blended = blend_edge(a, b, cfg.blend, new_h)
         return trunc_u8(blended[:new_h, :new_w]), dst_i
 
+    @staticmethod
+    def _validate_plan(plan, img_hw, n_edges):
+        """Failure detection (SURVEY.md §5): refuse to composite a
+        degenerate registration instead of attempting an unallocatable
+        canvas. A near-singular RANSAC model can place an image corner
+        millions of pixels away — the reference would try to allocate
+        that CImg and die with an opaque alloc failure (its catastrophic
+        seeds, GOLDEN_ENVELOPE.md); round 5 reproduced a 45 GB canvas on
+        dataset2 graph mode before the ransac corner gate existed. The
+        bound is generous (64x the total input area) so it can only fire
+        on genuinely broken models."""
+        h_img, w_img = img_hw
+        dims = plan[:, 20:22]
+        area_bound = 64.0 * (n_edges + 1) * h_img * w_img
+        bad = (~np.isfinite(plan).all(axis=1)
+               | (dims[:, 0] * dims[:, 1] > area_bound)
+               | (dims < 1).any(axis=1))
+        if bad.any():
+            k = int(np.argmax(bad))
+            raise ValueError(
+                f"degenerate registration at edge {k}: planned canvas "
+                f"{dims[k, 0]:.0f}x{dims[k, 1]:.0f} exceeds the sanity "
+                f"bound ({area_bound:.0f} px total). The match set for "
+                "this edge likely admits only a near-singular warp — "
+                "re-run with a different RansacConfig.seed, more "
+                "n_hypotheses, or check that the images actually "
+                "overlap.")
+
     def _stitch_planned(self, result, projected, edge_seq):
         """Planned stitch: ONE device program registers every edge
         (registration.plan_edges), ONE readback returns the [E, 23] plan,
@@ -429,6 +476,7 @@ class Stitcher:
         edges = jnp.asarray(np.asarray(edge_seq, np.int32))
         plan = np.asarray(plan_edges(self._matching_feats(), edges, img_hw,
                                      start_hw, cfg))
+        self._validate_plan(plan, img_hw, len(edge_seq))
 
         n_coef = 9 if cfg.warp_model == "projective" else 8
         if cfg.color_transfer:
@@ -541,7 +589,8 @@ class Stitcher:
 
         # BFS stitch loop (ImageProcess.cpp:149-236)
         with self._timer.stage("stitching"), obs.trace("stitching"):
-            edge_seq = bfs_edge_seq(adj, start)
+            edge_seq = bfs_edge_seq(adj, start,
+                                    getattr(cfg, "graph_revisit", "skip"))
 
             result = projected[start]
             if (cfg.planned and edge_seq

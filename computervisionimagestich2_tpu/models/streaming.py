@@ -97,7 +97,7 @@ class StreamingStitcher:
         target = (self._kf_feats if self.anchor == "keyframe"
                   else self._feats)
         forward, backward, n_matches, ovf = register_edge(
-            target, feats, cfg, self._n_frames)
+            target, feats, cfg, self._n_frames, tuple(img.shape[:2]))
         if (self.anchor == "keyframe"
                 and int(np.asarray(n_matches)) < cfg.match.pair_threshold):
             # keyframe fell out of view: promote the previous frame and
@@ -107,7 +107,8 @@ class StreamingStitcher:
             obs.log("stream_keyframe", frame=self._n_frames,
                     stale_matches=int(np.asarray(n_matches)))
             forward, backward, n_matches, ovf = register_edge(
-                self._kf_feats, feats, cfg, self._n_frames)
+                self._kf_feats, feats, cfg, self._n_frames,
+                tuple(img.shape[:2]))
         if int(np.asarray(ovf)) > 0:
             obs.warn("match_overflow", frame=self._n_frames,
                     dropped=int(np.asarray(ovf)),

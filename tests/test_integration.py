@@ -307,3 +307,31 @@ def test_no_enhance_skips_equalization(rng):
     ).stitch([left, right])
     assert out_on.shape == out_off.shape
     assert not np.array_equal(out_on, out_off)
+
+
+def test_bfs_spanning_tree_skips_revisits():
+    """Dense-graph BFS: the default 'skip' mode stitches each image once
+    (the reference's unguarded BFS re-stitches and explodes on dense
+    graphs — ImageProcess.cpp:170-174 has no visited check); 'faithful'
+    reproduces the re-stitch edges."""
+    from computervisionimagestich2_tpu.models.stitcher import bfs_edge_seq
+
+    def dense_adj():
+        # complete graph over 4 nodes
+        return [[i != j for j in range(4)] for i in range(4)]
+
+    tree = bfs_edge_seq(dense_adj(), 0)
+    assert len(tree) == 3
+    assert sorted(d for _, d, _ in tree) == [1, 2, 3]   # each dst once
+
+    faithful = bfs_edge_seq(dense_adj(), 0, revisit="faithful")
+    assert len(faithful) == 6                            # every edge
+    # chain adjacency: identical either way (the golden/parity shape)
+    def chain_adj():
+        a = [[False] * 4 for _ in range(4)]
+        for i in range(3):
+            a[i][i + 1] = a[i + 1][i] = True
+        return a
+
+    assert bfs_edge_seq(chain_adj(), 2) == bfs_edge_seq(
+        chain_adj(), 2, revisit="faithful")

@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from computervisionimagestich2_tpu.core.types import Features, MatchPairs
 from computervisionimagestich2_tpu.models.matcher import match_count, match_features
@@ -148,3 +149,74 @@ def test_ransac_lo_never_shrinks_consensus(rng):
     assert int(k1) >= int(k0)
     if int(k1) == int(k0):
         np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
+
+
+def test_ransac_corner_gate_clean_identical(rng):
+    """The degenerate-model corner gate must be a no-op on sane data:
+    same model bit-for-bit with and without it."""
+    import jax
+    import jax.numpy as jnp
+
+    from computervisionimagestich2_tpu.core.types import MatchPairs
+    from computervisionimagestich2_tpu.models.ransac import ransac_warp
+
+    n = 64
+    src = rng.uniform(0, 200, (n, 2)).astype(np.float32)
+    c = np.array([1.02, 0.03, 1e-5, 5.0, -0.02, 0.98, -2e-5, 9.0],
+                 np.float32)
+    dst_x = c[0] * src[:, 0] + c[1] * src[:, 1] \
+        + c[2] * src[:, 0] * src[:, 1] + c[3]
+    dst_y = c[4] * src[:, 0] + c[5] * src[:, 1] \
+        + c[6] * src[:, 0] * src[:, 1] + c[7]
+    dst = np.stack([dst_x, dst_y], -1).astype(np.float32)
+    dst[:12] += rng.uniform(30, 90, (12, 2)).astype(np.float32)  # outliers
+    pairs = MatchPairs(jnp.asarray(src), jnp.asarray(dst),
+                       jnp.ones(n, bool))
+    key = jax.random.PRNGKey(3)
+    corners = jnp.asarray([[0.0, 0.0], [199.0, 0.0], [0.0, 199.0],
+                           [199.0, 199.0]], jnp.float32)
+
+    c_plain, _, n_plain = ransac_warp(pairs, key, 64, 4.0)
+    c_gated, _, n_gated = ransac_warp(pairs, key, 64, 4.0,
+                                      corner_xy=corners,
+                                      corner_span=4.0 * 283.0)
+    np.testing.assert_array_equal(np.asarray(c_plain), np.asarray(c_gated))
+    assert int(n_plain) == int(n_gated)
+
+    # safety invariant under an adversarially tight span: the returned
+    # model either keeps the corners inside the (span-expanded) dst bbox
+    # or reports zero consensus — an exploding model can never surface
+    # with a live count. (The warm-started refit may legitimately
+    # resurrect a bbox-interior model even when every raw hypothesis was
+    # gated, so count==0 alone is NOT guaranteed.)
+    from computervisionimagestich2_tpu.ops.warp import warp_points
+
+    span = 1e-6
+    c_tight, _, n_tight = ransac_warp(pairs, key, 64, 4.0,
+                                      corner_xy=corners, corner_span=span)
+    cx, cy = warp_points(jnp.asarray(c_tight), corners[:, 0],
+                         corners[:, 1], "bilinear")
+    lo = dst.min(0) - span - 1e-3
+    hi = dst.max(0) + span + 1e-3
+    in_bounds = bool(np.all((np.asarray(cx) >= lo[0])
+                            & (np.asarray(cx) <= hi[0])
+                            & (np.asarray(cy) >= lo[1])
+                            & (np.asarray(cy) <= hi[1])))
+    assert in_bounds or int(n_tight) == 0, (in_bounds, int(n_tight))
+
+
+def test_validate_plan_rejects_degenerate_canvas():
+    from computervisionimagestich2_tpu.models.stitcher import Stitcher
+
+    plan = np.zeros((2, 23), np.float32)
+    plan[:, 20] = 900.0   # new_w
+    plan[:, 21] = 700.0   # new_h
+    Stitcher._validate_plan(plan, (480, 640), 2)      # sane: no raise
+
+    plan[1, 20] = 4.3e6   # the round-5 dataset2-graph failure mode
+    with pytest.raises(ValueError, match="degenerate registration"):
+        Stitcher._validate_plan(plan, (480, 640), 2)
+
+    plan[1, 20] = np.nan
+    with pytest.raises(ValueError, match="degenerate registration"):
+        Stitcher._validate_plan(plan, (480, 640), 2)
