@@ -97,14 +97,19 @@ def northstar_line(k: int = 4, e2e_runs: int = 3) -> dict:
     # ---- device-side stage sum (amortized scans, floor-subtracted)
     floor = _measure(lambda s: s + 1.0, (jnp.float32(1.0),))
 
-    def dev_ms(body, args):
-        wall = _measure(_scanned(body, k), args)
-        return max(wall - floor, 0.0) / k
+    def dev_ms(body, args, kk=None):
+        kk = kk or k
+        wall = _measure(_scanned(body, kk), args)
+        return max(wall - floor, 0.0) / kk
 
     proj = [cylindrical_project(jnp.asarray(im, jnp.float32),
                                 cfg.projection.angle_deg) for im in images]
     gray = jax.block_until_ready(to_gray(proj[0]))
-    sift_ms = dev_ms(lambda g: sift_extract(g, cfg.sift).desc.sum(), (gray,))
+    # k=12: sift is the 4x-weighted headline term and bounced +-1.5 ms
+    # between k=4 sessions (round 5) — deeper amortization divides the
+    # per-dispatch jitter without touching the measured program
+    sift_ms = dev_ms(lambda g: sift_extract(g, cfg.sift).desc.sum(),
+                     (gray,), kk=12)
 
     # capacity honesty at north-star scale (VERDICT r3 ask #2): the
     # headline is only valid if NO keypoints were dropped by the static

@@ -60,3 +60,20 @@ def test_planner_rejects_projective_and_extreme_span():
     c2 = np.asarray([20.0, 0, 0, 0, 0, 1.0, 0, 0])
     assert pw.onehot_warp_params(c2, (64, 2560), 0, 0,
                                  (64, 4096), max_winc=512) is None
+
+
+def test_onehot_params_reject_unpackable_source():
+    """ADVICE r4: the packed (sy<<16)|sx tile word cannot represent
+    sources taller than 2^15 rows or wider than 2^16 px — the planner
+    must fall back (return None) instead of silently corrupting."""
+    import numpy as np
+    from computervisionimagestich2_tpu.ops.pallas_warp import (
+        onehot_warp_params)
+
+    coeffs = np.array([1.0, 0.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0], np.float32)
+    ok = onehot_warp_params(coeffs, (64, 256), 0.0, 0.0, (512, 512))
+    assert ok is not None
+    assert onehot_warp_params(coeffs, (64, 256), 0.0, 0.0,
+                              (40000, 512)) is None
+    assert onehot_warp_params(coeffs, (64, 256), 0.0, 0.0,
+                              (512, 70000)) is None
