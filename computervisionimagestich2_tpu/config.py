@@ -56,6 +56,14 @@ class SiftConfig:
     # scripts/tpu_smoke.py, which compiles every Pallas kernel on
     # hardware before a round ships.
     detect_impl: str = "pallas"
+    # Weight-arithmetic precision of the Pallas descriptor walks:
+    # "f32" (default) or "bf16". MEASURED NEGATIVE on v5e (round 5,
+    # same-session): bf16 walks ran 14.67 vs 12.8 ms/image — the casts
+    # and (16, 128)-tile relayouts cost more than any packed-element
+    # win, so the VPU does not deliver 2x here. Fidelity itself is fine
+    # (desc cosine >= 0.99994 vs f32 on the bench image); the flag stays
+    # as the recorded experiment.
+    walk_dtype: str = "f32"
 
     @property
     def sigma_k(self) -> float:

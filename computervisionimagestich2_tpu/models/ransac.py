@@ -53,7 +53,7 @@ def ransac_warp(pairs: MatchPairs, key: jax.Array,
     own sample well while exploding at the image corners; the reference
     has no such guard and occasionally emits a canvas it cannot allocate
     (its catastrophic seeds, GOLDEN_ENVELOPE.md) — round 5 reproduced a
-    45 GB canvas on dataset2 graph mode. The gate never fires on sane
+    45 GB canvas on dataset3 graph mode. The gate never fires on sane
     models (legitimate panorama warps keep corners within ~one image
     diagonal of the matched region), so clean registrations are
     bit-identical with or without it."""

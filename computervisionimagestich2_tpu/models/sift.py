@@ -364,7 +364,8 @@ def _process_octave(octave: jnp.ndarray, cfg: SiftConfig, octave_index: int):
                     mod_d, ang_d, b_x / xper, b_y / xper, b_sigma / xper,
                     b_angle, n_b, w, h, r_b, cfg.magnif,
                     cfg.n_spatial_bins / 2.0, cfg.n_spatial_bins,
-                    cfg.n_desc_ori_bins, interpret=interp)
+                    cfg.n_desc_ori_bins, interpret=interp,
+                    walk_dtype=getattr(cfg, "walk_dtype", "f32"))
                 results.append((desc, jnp.stack([b_x, b_y], axis=-1),
                                 b_sigma, d_ok, b_resp))
         else:

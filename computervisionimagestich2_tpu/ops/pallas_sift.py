@@ -203,7 +203,8 @@ def _band_mask_matrix(p: int, kpk: int):
 def _desc_kernel(nv_ref, yx_ref, par_ref, grad_hbm,
                  desc_ref, pg, sems, acc, *,
                  radius: int, w: int, h: int, magnif: float,
-                 window_size: float, nbp: int, nbo: int, kpk: int):
+                 window_size: float, nbp: int, nbo: int, kpk: int,
+                 walk_dtype: str = "f32"):
     i = pl.program_id(0)               # keypoints kpk*i .. kpk*i + kpk - 1
     nv = nv_ref[0]
     p = 2 * radius + 1
@@ -264,7 +265,20 @@ def _desc_kernel(nv_ref, yx_ref, par_ref, grad_hbm,
                       / (2.0 * window_size * window_size))
         base = jnp.where(sel, win * m, 0.0)
 
-        planes = [base * _hat_circular(nt - t, nbo) for t in range(nbo)]
+        # optional reduced-precision weight chain: the hat products and
+        # per-bin row reduces are the walk's VPU wall (128 mul+reduce
+        # passes over [rows, 256]); bf16 packs 2 elements per lane
+        # ((16, 128) vreg tiling) so the pass count halves. Coordinates,
+        # rotation, window, and selection stay f32 — only the WEIGHT
+        # arithmetic (hats, products, bin sums) drops precision, ~0.5%
+        # on raw bins before the L2 normalize. Opt-in via walk_dtype.
+        wdt = jnp.bfloat16 if walk_dtype == "bf16" else jnp.float32
+        base_w = base.astype(wdt)
+        nx_w = nx.astype(wdt)
+        ny_w = ny.astype(wdt)
+        nt_w = nt.astype(wdt)
+        planes = [base_w * _hat_circular(nt_w - wdt(t), nbo)
+                  for t in range(nbo)]
 
         # per-bin LANE-PARTIAL sums land as rows of the [128, 256] acc
         # scratch (a cheap sublane reduce per bin, ALL packed keypoints per
@@ -275,15 +289,15 @@ def _desc_kernel(nv_ref, yx_ref, par_ref, grad_hbm,
         half = nbp // 2
         # hoist the x-hats: the old loop re-evaluated _hat(nx - cx) for
         # every byi (12 redundant [rows, 256] hat evaluations per step)
-        hxs = [_hat(nx - (bxi - half + 0.5)) for bxi in range(nbp)]
+        hxs = [_hat(nx_w - wdt(bxi - half + 0.5)) for bxi in range(nbp)]
         for byi in range(nbp):
-            hy = _hat(ny - (byi - half + 0.5))
+            hy = _hat(ny_w - wdt(byi - half + 0.5))
             for bxi in range(nbp):
                 ws = hy * hxs[bxi]
                 cell = (byi * nbp + bxi) * nbo
                 acc[pl.ds(cell, nbo), :] = jnp.concatenate(
                     [jnp.sum(ws * planes[t], axis=0, keepdims=True)
-                     for t in range(nbo)], axis=0)
+                     for t in range(nbo)], axis=0).astype(jnp.float32)
         dvec = jax.lax.dot_general(
             _band_mask_matrix(p, kpk), acc[...], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)          # [kpk, 128]
@@ -297,13 +311,14 @@ def _desc_kernel(nv_ref, yx_ref, par_ref, grad_hbm,
 
 
 @partial(jax.jit, static_argnames=("radius", "w", "h", "magnif",
-                                   "window_size", "nbp", "nbo", "interpret"))
+                                   "window_size", "nbp", "nbo", "interpret",
+                                   "walk_dtype"))
 def descriptors_pallas(mod_pad: jnp.ndarray, ang_pad: jnp.ndarray,
                        x: jnp.ndarray, y: jnp.ndarray, sigma: jnp.ndarray,
                        angle: jnp.ndarray, n_valid: jnp.ndarray,
                        w: int, h: int, radius: int, magnif: float = 3.0,
                        window_size: float = 2.0, nbp: int = 4, nbo: int = 8,
-                       interpret: bool = False):
+                       interpret: bool = False, walk_dtype: str = "f32"):
     """Descriptor batch on the lane-packed keypoint-walk Pallas kernel.
 
     mod_pad/ang_pad: ``pad_for_patches(plane, radius)`` of one gradient
@@ -333,7 +348,8 @@ def descriptors_pallas(mod_pad: jnp.ndarray, ang_pad: jnp.ndarray,
                      jnp.zeros_like(x)], axis=-1)
 
     kernel = partial(_desc_kernel, radius=radius, w=w, h=h, magnif=magnif,
-                     window_size=window_size, nbp=nbp, nbo=nbo, kpk=kpk)
+                     window_size=window_size, nbp=nbp, nbo=nbo, kpk=kpk,
+                     walk_dtype=walk_dtype)
     # stack the two planes on a MAJOR dim (cheap HBM copy) so each keypoint
     # costs one [2, rows, 256] DMA instead of two
     grad_pad = jnp.stack([mod_pad, ang_pad])
