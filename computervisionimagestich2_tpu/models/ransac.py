@@ -149,8 +149,8 @@ def ransac_warp(pairs: MatchPairs, key: jax.Array,
 
     if corner_xy is not None:
         # the REFIT can also go degenerate (a small near-collinear inlier
-        # set makes the xy-term of the least squares explode — dataset2
-        # graph mode's spurious 20-match edges, round 5); if the final
+        # set makes the xy-term of the least squares explode — dense-graph
+        # re-stitch edges, round 5); if the final
         # model fails the corner check, fall back to the gate-passing
         # best 4-point hypothesis. No-op for sane refits.
         fxw, fyw = warp_points(coeffs, corner_xy[:, 0], corner_xy[:, 1],
