@@ -80,8 +80,15 @@ def northstar_line(k: int = 4, e2e_runs: int = 3) -> dict:
     images = [upscale(load_image(f"/root/reference/Input/{i}.bmp"),
                       1440, 1080) for i in range(1, 5)]
 
-    # ---- e2e wall (tunnel-dominated)
-    st = Stitcher(cfg)
+    # ---- e2e wall (tunnel-dominated). CHAIN ordering: the headline
+    # stage sum below uses chain semantics (BASELINE config 2 — the ex6
+    # variant behind the reference's 1.83 s), so the e2e wall measures
+    # the same pipeline; the graph variant's all-pairs discovery cost is
+    # reported separately as ordering_counts_graph_mode.
+    import dataclasses
+
+    cfg_chain = dataclasses.replace(cfg, ordering="chain")
+    st = Stitcher(cfg_chain)
     out = st.stitch(images)             # cold
     times = []
     for _ in range(e2e_runs):
