@@ -77,14 +77,15 @@ def candidate_capacity(h: int, w: int) -> int:
     """Static candidate-list capacity per octave. Strict 26-neighbor extrema
     are sparse: measured on the north-star 1440x1080 bench inputs
     (scripts/bench_r4_probe4.py C1), octave-0 finds 6.2-7.3k (4.0-4.7 /
-    1000 px) and later octaves fall off ~7x per octave, so area/96
-    (10.4/1000) keeps >2.2x headroom over the densest image — while the
-    refine chase, candidate compaction, and their gathers all scale with
-    this capacity (area/16 made refine ~2.4x slower for zero extra
-    candidates; the round-3 area/64 sizing paid ~1.5x refine for unused
-    headroom). Overflow drops trailing candidates in scan order and is
-    reported via telemetry."""
-    return max(1024, min((h * w) // 96, 32768))
+    1000 px) and later octaves fall off ~7x per octave. area/128
+    (7.8/1000) keeps ~1.66x headroom over the densest measured image.
+    The refine stage is GATHER-bound in this capacity (round-5
+    attribution: ~11 point-gathers per slot — 5 chase steps + the
+    acceptance fields — at ~9 ns each, so every 1k slots is ~0.1 ms);
+    the round-4 area/96 sizing (16.2k at 1440x1080) paid ~0.5 ms/image
+    for headroom never touched. Overflow drops trailing candidates in
+    scan order and is reported via telemetry (cand_dropped)."""
+    return max(1024, min((h * w) // 128, 32768))
 
 
 def keypoint_capacity(h: int, w: int, cap_max: int) -> int:

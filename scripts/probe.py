@@ -128,7 +128,7 @@ def cmd_sift_stages(args):
 
     def stub_desc(mod_pad, ang_pad, x, y, sigma, angle, n_valid, w, h,
                   radius, magnif=3.0, window_size=2.0, nbp=4, nbo=8,
-                  interpret=False):
+                  interpret=False, walk_dtype="f32"):
         n = x.shape[0]
         return (jnp.zeros((n, 128), jnp.float32) + mod_pad[0, 0],
                 jnp.arange(n) < n_valid[0])
