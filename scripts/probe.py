@@ -164,8 +164,6 @@ def cmd_sift_stages(args):
     results["no_refine"] = timed("no_refine+ori+desc")
     sk.polar_gradient = stub_grad
     results["no_grad"] = timed("no_grad+refine+ori+desc")
-    for k, v in orig.items():
-        pass
     ps.descriptors_pallas = orig["desc"]
     ps.orientation_hist_pallas = orig["ori"]
     sk.refine_keypoints = orig["refine"]
