@@ -211,17 +211,17 @@ def blend_edge(a: jnp.ndarray, b: jnp.ndarray, bcfg,
     threshold (the seam-band path resolves on its window instead)."""
     thr = getattr(bcfg, "bf16_auto_area", AUTO_BF16_AREA)
     band = bcfg.seam_band
-    if band == 0:
+    if band == 0 and seam_auto_engaged(bcfg, int(a.shape[0]),
+                                       int(a.shape[1])):
         # area-gated automatic seam-band (BlendConfig.seam_auto_area):
         # full-canvas reference blend below the gate, seam-window blend
-        # above it. The window dtype resolves on the WINDOW area but is
+        # above it — the SAME predicate apply_composite_gain uses, so
+        # band and implied gain can never disagree. The window dtype is
         # pinned to the full-canvas policy's choice so the gate cannot
         # flip a big canvas back to f32 (probe comp-ab: the band-128
         # window under 1.5 Mpx resolved f32 and ran 2.8x slower than the
         # band-256 bf16 window).
-        auto_area = getattr(bcfg, "seam_auto_area", 0)
-        if auto_area and int(a.shape[0]) * int(a.shape[1]) > auto_area:
-            band = getattr(bcfg, "seam_auto_band", 256)
+        band = getattr(bcfg, "seam_auto_band", 256)
     if band > 0:
         wb = 4 * band
         dt = resolve_dtype(bcfg.dtype, int(a.shape[0]),

@@ -46,6 +46,12 @@ def ransac_warp(pairs: MatchPairs, key: jax.Array,
     only ever moves the result toward a larger-consensus basin (the golden
     drift isolated by scripts/parity_refit.py, VERDICT r3 ask #6).
 
+    PRECONDITION: ``pairs.valid`` must be PREFIX-compacted (all True
+    entries first) — the matcher always produces this form
+    (compact_indices), and the uniform sampler draws indices in
+    [0, sum(valid)); a non-prefix mask would sample dead slots and
+    never reach valid pairs past the prefix.
+
     ``corner_xy`` ([4, 2], optional): degenerate-model gate — a
     hypothesis whose warp maps these points (the incoming image's
     corners) further than ``corner_span`` from the valid pairs' bounding

@@ -203,13 +203,18 @@ def _process_octave(octave: jnp.ndarray, cfg: SiftConfig, octave_index: int):
 
         coords, cvalid, n_cand = detect_compact_pallas(
             dog, cfg.peak_thresh, cap_cand, interpret=interp)
+        # dropped = uncapped hits minus actually-kept slots: covers BOTH
+        # the global capacity and the kernel's per-row _ROWCAP truncation
+        # (a >128-extrema row would otherwise lose hits with dropped=0 —
+        # VERDICT r1 #8: truncation must be reported, never silent)
+        cand_dropped = jnp.maximum(
+            n_cand - jnp.sum(cvalid.astype(jnp.int32)), 0)
     else:
         mask = sk.extrema_mask(dog, cfg.peak_thresh)
         coords, cvalid = sk.compact_mask(mask, cap_cand)
         n_cand = jnp.sum(mask.astype(jnp.int32))
-    # telemetry: candidates dropped by the static capacity (VERDICT r1 #8 —
-    # truncation must be reported, never silent)
-    cand_dropped = jnp.maximum(n_cand - cap_cand, 0)
+        # telemetry: candidates dropped by the static capacity
+        cand_dropped = jnp.maximum(n_cand - cap_cand, 0)
     ok, x, y, sigma, lvl, resp = sk.refine_keypoints(
         dog, coords, cvalid, w, h, cfg.peak_thresh, cfg.edge_thresh,
         cfg.s_min, cfg.s_max, xper, cfg.sigma0, cfg.n_levels)

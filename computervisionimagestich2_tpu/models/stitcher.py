@@ -410,6 +410,8 @@ class Stitcher:
         src_shape = projected[dst_i].shape[:2]
         new_h, new_w, min_x, min_y = compose.canvas_plan(
             fwd_host, src_shape, result.shape[:2], cfg.warp_model)
+        self._validate_canvas(new_h, new_w, src_shape,
+                              f"edge ({src_i}, {dst_i})")
 
         if cfg.exact_canvas:
             comp_hw = (new_h, new_w)
@@ -421,10 +423,9 @@ class Stitcher:
 
         a, b = compose.composite(projected[dst_i], result, backward,
                                  min_x, min_y, comp_hw, cfg.warp_model)
-        if cfg.blend.gain_compensation:
-            from .gain import gain_compensate
+        from .blender import apply_composite_gain
 
-            a = gain_compensate(a, b, cfg.blend.gain_mode)
+        a = apply_composite_gain(a, b, cfg.blend, comp_hw[0], comp_hw[1])
 
         feats[dst_i] = _update_features_by_warp(
             feats[dst_i], forward, jnp.float32(min_x), jnp.float32(min_y),
@@ -436,6 +437,24 @@ class Stitcher:
         return trunc_u8(blended[:new_h, :new_w]), dst_i
 
     @staticmethod
+    def _validate_canvas(new_h, new_w, img_hw, where: str,
+                         budget_edges: int = 1):
+        """Single-edge form of _validate_plan for the incremental and
+        streaming paths: refuse an unallocatable canvas with an
+        actionable error instead of dying in the allocator."""
+        h_img, w_img = img_hw
+        bound = 64.0 * (budget_edges + 1) * float(h_img) * float(w_img) \
+            + 16.0 * 4096 * 4096
+        if (not np.isfinite([new_h, new_w]).all() or new_h < 1
+                or new_w < 1 or float(new_h) * float(new_w) > bound):
+            raise ValueError(
+                f"degenerate registration at {where}: planned canvas "
+                f"{new_w}x{new_h} exceeds the sanity bound. The match "
+                "set likely admits only a near-singular warp — re-run "
+                "with a different RansacConfig.seed, more n_hypotheses, "
+                "or check that the images actually overlap.")
+
+    @staticmethod
     def _validate_plan(plan, img_hw, n_edges):
         """Failure detection (SURVEY.md §5): refuse to composite a
         degenerate registration instead of attempting an unallocatable
@@ -443,7 +462,7 @@ class Stitcher:
         millions of pixels away — the reference would try to allocate
         that CImg and die with an opaque alloc failure (its catastrophic
         seeds, GOLDEN_ENVELOPE.md); round 5 reproduced a 45 GB canvas on
-        dataset2 graph mode before the ransac corner gate existed. The
+        dataset3 graph mode before the ransac corner gate existed. The
         bound is generous (64x the total input area) so it can only fire
         on genuinely broken models."""
         h_img, w_img = img_hw

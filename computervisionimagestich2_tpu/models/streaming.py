@@ -117,6 +117,10 @@ class StreamingStitcher:
 
         ext_h, ext_w, min_x, min_y = compose.canvas_plan(
             both[0], img.shape[:2], self._result.shape[:2], cfg.warp_model)
+        from .stitcher import Stitcher
+
+        Stitcher._validate_canvas(ext_h, ext_w, img.shape[:2],
+                                  f"stream frame {self._n_frames}")
         # bucket the canvas to bound recompilation; the pre-bucket extents
         # stay the seam-row content bound (models.blender.half_plane_mask)
         new_h = _bucket(ext_h, cfg.canvas_bucket)

@@ -9,9 +9,11 @@ BEFORE a round snapshot, not in the driver bench.
 
 Discipline (README "TPU smoke gate"): run this after the last functional
 commit of every session; never wire a Pallas kernel into a default path
-with interpret-only coverage. Quarantined kernels (not in any default
-path, e.g. detect_impl="pallas") are attempted and REPORTED but do not
-fail the gate.
+with interpret-only coverage. A kernel still quarantined behind a config
+flag belongs in COVERED_QUARANTINED with a report-only stage
+(fail_gate=False); once promoted to a default path it moves to
+COVERED_DEFAULT and its stage fails the gate (the streaming detect made
+that move in round 5).
 
 Also enforces coverage mechanically: any ops/ module that calls
 pl.pallas_call but is not exercised here fails the gate with a message
@@ -34,8 +36,9 @@ import numpy as np
 
 # every ops/ module calling pl.pallas_call must appear here, mapped to
 # default-path (gate-failing) or quarantined (report-only)
-COVERED_DEFAULT = {"pallas_sift.py", "pallas_distance.py", "pallas_warp.py"}
-COVERED_QUARANTINED = {"pallas_detect.py"}
+COVERED_DEFAULT = {"pallas_sift.py", "pallas_distance.py", "pallas_warp.py",
+                   "pallas_detect.py"}
+COVERED_QUARANTINED: set = set()
 
 
 def check_coverage() -> list[str]:
@@ -145,7 +148,9 @@ def main() -> int:
 
     stage("stitch_4img", run_stitch)
 
-    # 5. quarantined kernels — attempted, reported, non-fatal
+    # 5. the streaming detect, exercised directly at bench shape — it
+    # is the TPU DEFAULT (SiftConfig.detect_impl), so a failure here
+    # fails the gate
     def run_detect_pallas():
         from computervisionimagestich2_tpu.models.sift import (
             build_octave, candidate_capacity, scale_space_sigmas)
@@ -164,7 +169,7 @@ def main() -> int:
                                         candidate_capacity(h, w))
         float(np.asarray(n))
 
-    stage("detect_pallas_quarantined", run_detect_pallas, fail_gate=False)
+    stage("detect_pallas_default", run_detect_pallas)
 
     report["total_s"] = round(time.time() - t_start, 1)
     print(json.dumps(report), flush=True)
